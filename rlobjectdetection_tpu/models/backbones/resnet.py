@@ -1,0 +1,173 @@
+"""ResNet backbone (C4 Faster R-CNN flavor) in flax.linen, NHWC.
+
+Reference: /root/reference/lib/model/faster_rcnn/resnet.py —
+  * base = conv1..layer3 (1024-ch C4 feature, stride 16, l.238-239)
+  * head = layer4 (stride 2) + global mean pool → 2048 (l.241, 286-288)
+  * maxpool is 3×3 stride-2, padding 0, ceil_mode=True ("change", l.113)
+  * BatchNorm is ALWAYS frozen (set_bn_fix l.261-266 + forced eval l.269-284):
+    here that is a FrozenBatchNorm whose statistics/affine are constants under
+    stop_gradient — no batch-stats plumbing needed, and XLA folds them into the
+    neighboring convs.
+  * conv1/bn1 always frozen; layer1..3 frozen per RESNET.FIXED_BLOCKS (l.250-259)
+    — expressed as an optax mask (see `resnet_param_trainable`), not mutation.
+  * `num_layers` in the reference is ignored (always 101, resnet.py:230); we
+    honor it properly but default to 101.
+
+TPU notes: NHWC keeps C on the 128-lane axis; all convs hit the MXU. Compute
+dtype is configurable (bfloat16 by default) with fp32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+LAYER_SPECS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics and affine params (inference-only BN).
+
+    Parameters live in the regular 'params' collection (so torch checkpoints map
+    1:1) but gradients are cut with stop_gradient, matching the reference's
+    requires_grad=False + perpetual eval() (resnet.py:261-284).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        scale, bias, mean, var = (lax.stop_gradient(t) for t in (scale, bias, mean, var))
+        mul = (scale * lax.rsqrt(var + self.eps)).astype(self.dtype)
+        add = (bias - mean * scale * lax.rsqrt(var + self.eps)).astype(self.dtype)
+        return x * mul + add
+
+
+def ceil_max_pool(x, window: int = 3, stride: int = 2):
+    """MaxPool2d(kernel=3, stride=2, padding=0, ceil_mode=True) equivalent."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - window) // stride) + 1
+    out_w = -(-(w - window) // stride) + 1
+    pad_h = max(0, (out_h - 1) * stride + window - h)
+    pad_w = max(0, (out_w - 1) * stride + window - w)
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+    )
+
+
+class Bottleneck(nn.Module):
+    """1×1 → 3×3 → 1×1 bottleneck (resnet.py:66-102), expansion 4.
+
+    Caffe/torchvision flavor: stride on the 3×3 conv.
+    """
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name,
+        )
+        out = conv(self.planes, 1, 1, "conv1")(x)
+        out = FrozenBatchNorm(self.planes, self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, "conv2")(out)
+        out = FrozenBatchNorm(self.planes, self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, 1, "conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, self.dtype, name="bn3")(out)
+        if self.downsample:
+            sc = conv(self.planes * 4, 1, self.stride, "downsample_conv")(x)
+            sc = FrozenBatchNorm(self.planes * 4, self.dtype, name="downsample_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResLayer(nn.Module):
+    planes: int
+    blocks: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, downsample=True, dtype=self.dtype,
+                       name="block0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, downsample=False, dtype=self.dtype,
+                           name=f"block{i}")(x)
+        return x
+
+
+class ResNetBase(nn.Module):
+    """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239)."""
+
+    num_layers: int = 101
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        specs = LAYER_SPECS[self.num_layers]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = ceil_max_pool(x)
+        x = ResLayer(64, specs[0], 1, self.dtype, name="layer1")(x)
+        x = ResLayer(128, specs[1], 2, self.dtype, name="layer2")(x)
+        x = ResLayer(256, specs[2], 2, self.dtype, name="layer3")(x)
+        return x
+
+
+class ResNetHead(nn.Module):
+    """layer4 + spatial mean → [R, 2048] (_head_to_tail, resnet.py:286-288)."""
+
+    num_layers: int = 101
+    dtype: Any = jnp.float32
+    stride: int = 2  # RL policy net uses stride 1 (Reinforcement/resnet.py:120)
+
+    @nn.compact
+    def __call__(self, pooled):  # [R, P, P, 1024]
+        specs = LAYER_SPECS[self.num_layers]
+        x = ResLayer(512, specs[3], self.stride, self.dtype, name="layer4")(pooled)
+        return x.mean(axis=(1, 2))
+
+
+def resnet_param_trainable(path: Sequence[str], fixed_blocks: int = 1) -> bool:
+    """Trainability of a base-backbone param path, mirroring resnet.py:250-266.
+
+    path: tuple of module names from the ResNetBase root, e.g.
+    ("layer1", "block0", "conv1", "kernel"). BN params are always frozen.
+    """
+    p = "/".join(path)
+    if "bn" in p or "downsample_bn" in p or p.startswith("bn1"):
+        return False
+    if path[0] in ("conv1", "bn1"):
+        return False
+    for i in range(1, 4):
+        if fixed_blocks >= i and path[0] == f"layer{i}":
+            return False
+    return True

@@ -1,0 +1,129 @@
+"""Fixed-shape greedy NMS for TPU.
+
+TPU-native redesign of the reference's CUDA bitmask NMS
+(/root/reference/lib/model/nms/src/nms_cuda_kernel.cu:41-144): same greedy
+suppress-by-score-order semantics (IoU with the +1 width convention,
+`suppress if iou > thresh`), but instead of a 64-bit mask matrix + host-side
+scan (which forces a device→host round trip per image), we run a score-sorted
+tiled suppression entirely on device:
+
+  * boxes are sorted by score (descending) once;
+  * tiles of TILE boxes are processed sequentially with `lax.scan`;
+  * cross-tile suppression is one [TILE, N] IoU + masked reduction per tile;
+  * within-tile suppression is a Jacobi fixpoint on the strictly-lower-
+    triangular "suppresses" relation — exact greedy in ≤TILE iterations,
+    with early exit via `lax.while_loop`.
+
+Everything is fixed shape: invalid/padding boxes are handled with validity
+masks, and selection of the top-K survivors is a masked top_k. Exactness vs a
+sequential numpy oracle is enforced in tests/test_nms.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+NEG_INF = -1e10
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
+                    tile_size: int = 256) -> jnp.ndarray:
+    """Greedy NMS keep-mask for boxes already sorted by descending score.
+
+    boxes: [N, 4] (x1, y1, x2, y2); valid: [N] bool. Returns keep: [N] bool.
+    Exact greedy: box i survives iff it is valid and no surviving valid box
+    j < i has IoU(i, j) > iou_threshold.
+    """
+    n = boxes.shape[0]
+    n_pad = _pad_to_multiple(max(n, tile_size), tile_size)
+    if n_pad != n:
+        boxes = jnp.pad(boxes, ((0, n_pad - n), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad - n))
+    num_tiles = n_pad // tile_size
+
+    def tile_step(kept, tile_idx):
+        start = tile_idx * tile_size
+        tb = jax.lax.dynamic_slice(boxes, (start, 0), (tile_size, 4))
+        tv = jax.lax.dynamic_slice(valid, (start,), (tile_size,))
+
+        # [TILE, N] IoU of this tile's boxes against every box.
+        iou = bbox_overlaps(tb, boxes)
+
+        # Cross-tile: suppressed by any *kept* box strictly before this tile.
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        prev_mask = (col < start) & kept[None, :]
+        sup_prev = jnp.any((iou > iou_threshold) & prev_mask, axis=1)
+
+        # Within-tile: adj[i, j] = True iff j < i and IoU > thresh and j valid.
+        iou_tt = jax.lax.dynamic_slice(iou, (0, start), (tile_size, tile_size))
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_size, tile_size), 0)
+        colt = jax.lax.broadcasted_iota(jnp.int32, (tile_size, tile_size), 1)
+        adj = (colt < row) & (iou_tt > iou_threshold) & tv[None, :]
+
+        def cond(state):
+            sup, changed, it = state
+            return changed & (it < tile_size)
+
+        def body(state):
+            sup, _, it = state
+            new = sup_prev | jnp.any(adj & ~sup[None, :], axis=1)
+            return new, jnp.any(new != sup), it + 1
+
+        sup0 = sup_prev | jnp.any(adj, axis=1)
+        sup, _, _ = jax.lax.while_loop(cond, body, (sup0, jnp.array(True), 0))
+
+        kept = jax.lax.dynamic_update_slice(kept, tv & ~sup, (start,))
+        return kept, None
+
+    kept0 = jnp.zeros((n_pad,), dtype=bool)
+    kept, _ = jax.lax.scan(tile_step, kept0, jnp.arange(num_tiles))
+    return kept[:n]
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+        valid: jnp.ndarray | None = None, tile_size: int = 256):
+    """Greedy NMS on unsorted boxes.
+
+    Returns (order, keep): `order` [N] indices sorting by descending score,
+    `keep` [N] bool aligned to that order. Equivalent keep *set* to the
+    reference `nms(dets, thresh)` (nms_wrapper.py:11), expressed fixed-shape.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    skey = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-skey)
+    sboxes = jnp.take(boxes, order, axis=0)
+    svalid = jnp.take(valid, order, axis=0)
+    keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size)
+    return order, keep
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size"))
+def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+               max_out: int, valid: jnp.ndarray | None = None, tile_size: int = 256):
+    """NMS then keep the top `max_out` survivors (score order), zero-padded.
+
+    Returns (sel_boxes [max_out, 4], sel_scores [max_out], sel_valid [max_out]).
+    Matches proposal_layer.py:146-159 semantics: survivors in score order,
+    zero padding at the end.
+    """
+    order, keep = nms(boxes, scores, iou_threshold, valid=valid, tile_size=tile_size)
+    sscores = jnp.take(scores, order)
+    masked = jnp.where(keep, sscores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(masked, max_out)
+    sel_valid = top_scores > NEG_INF / 2
+    sel_in_sorted = jnp.take(order, top_idx)
+    sel_boxes = jnp.take(boxes, sel_in_sorted, axis=0)
+    sel_boxes = jnp.where(sel_valid[:, None], sel_boxes, 0.0)
+    sel_scores = jnp.where(sel_valid, jnp.take(scores, sel_in_sorted), 0.0)
+    return sel_boxes, sel_scores, sel_valid

@@ -1,0 +1,21 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The reference could only test multi-GPU paths on real 8-GPU boxes (SURVEY.md §4);
+here we force 8 fake TPU-like host devices so sharding/pjit paths are exercised
+in CI on any machine.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(3)  # RNG_SEED=3, utils/config.py:260
