@@ -78,8 +78,9 @@ def clip_boxes(boxes: jnp.ndarray, im_hw) -> jnp.ndarray:
     else:
         hmax = im_hw[..., 0] - 1.0
         wmax = im_hw[..., 1] - 1.0
-        # broadcast per-batch bounds over box dims
-        extra = boxes.ndim - hmax.ndim - 1
+        # broadcast per-batch bounds over the (boxes, class-group) dims: the
+        # clipped coords below have rank boxes.ndim (last axis split into K×4)
+        extra = boxes.ndim - hmax.ndim
         for _ in range(extra):
             hmax = hmax[..., None]
             wmax = wmax[..., None]

@@ -43,17 +43,18 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, pooled_height: int = 7,
         rs_h = jnp.round(chunk_rois[:, 2] * spatial_scale).astype(jnp.int32)
         re_w = jnp.round(chunk_rois[:, 3] * spatial_scale).astype(jnp.int32)
         re_h = jnp.round(chunk_rois[:, 4] * spatial_scale).astype(jnp.int32)
-        roi_w = jnp.maximum(re_w - rs_w + 1, 1).astype(jnp.float32)
-        roi_h = jnp.maximum(re_h - rs_h + 1, 1).astype(jnp.float32)
-        bin_h = roi_h / ph_n
-        bin_w = roi_w / pw_n
+        roi_w = jnp.maximum(re_w - rs_w + 1, 1)
+        roi_h = jnp.maximum(re_h - rs_h + 1, 1)
 
-        pidx_h = jnp.arange(ph_n, dtype=jnp.float32)
-        pidx_w = jnp.arange(pw_n, dtype=jnp.float32)
-        hstart = jnp.floor(pidx_h[None, :] * bin_h[:, None]).astype(jnp.int32) + rs_h[:, None]
-        hend = jnp.ceil((pidx_h[None, :] + 1) * bin_h[:, None]).astype(jnp.int32) + rs_h[:, None]
-        wstart = jnp.floor(pidx_w[None, :] * bin_w[:, None]).astype(jnp.int32) + rs_w[:, None]
-        wend = jnp.ceil((pidx_w[None, :] + 1) * bin_w[:, None]).astype(jnp.int32) + rs_w[:, None]
+        # Cell bounds in exact integer arithmetic: floor(ph*roi_h/P) and
+        # ceil((ph+1)*roi_h/P). This is the CUDA kernel's intended partition
+        # (roi_pooling_kernel.cu:54-60) without its float32 boundary jitter.
+        pidx_h = jnp.arange(ph_n, dtype=jnp.int32)
+        pidx_w = jnp.arange(pw_n, dtype=jnp.int32)
+        hstart = (pidx_h[None, :] * roi_h[:, None]) // ph_n + rs_h[:, None]
+        hend = -((-(pidx_h[None, :] + 1) * roi_h[:, None]) // ph_n) + rs_h[:, None]
+        wstart = (pidx_w[None, :] * roi_w[:, None]) // pw_n + rs_w[:, None]
+        wend = -((-(pidx_w[None, :] + 1) * roi_w[:, None]) // pw_n) + rs_w[:, None]
         hstart = jnp.clip(hstart, 0, h)
         hend = jnp.clip(hend, 0, h)
         wstart = jnp.clip(wstart, 0, w)

@@ -52,14 +52,14 @@ def np_roi_pool(feat_nchw, rois, ph_n, pw_n, scale):
         reh = int(round(rois[n, 4] * scale))
         roi_w = max(rew - rsw + 1, 1)
         roi_h = max(reh - rsh + 1, 1)
-        bh = roi_h / ph_n
-        bw = roi_w / pw_n
+        # exact-integer cell partition — the CUDA kernel's intended semantics
+        # (roi_pooling_kernel.cu:54-60) minus its float32 boundary jitter
         for ph in range(ph_n):
             for pw in range(pw_n):
-                hs = min(max(int(np.floor(ph * bh)) + rsh, 0), h)
-                he = min(max(int(np.ceil((ph + 1) * bh)) + rsh, 0), h)
-                ws = min(max(int(np.floor(pw * bw)) + rsw, 0), w)
-                we = min(max(int(np.ceil((pw + 1) * bw)) + rsw, 0), w)
+                hs = min(max(ph * roi_h // ph_n + rsh, 0), h)
+                he = min(max(-((-(ph + 1) * roi_h) // ph_n) + rsh, 0), h)
+                ws = min(max(pw * roi_w // pw_n + rsw, 0), w)
+                we = min(max(-((-(pw + 1) * roi_w) // pw_n) + rsw, 0), w)
                 if he <= hs or we <= ws:
                     continue
                 out[n, :, ph, pw] = feat_nchw[bi, :, hs:he, ws:we].max(axis=(1, 2))
