@@ -1,0 +1,313 @@
+"""Image database (imdb) base class + roidb preparation.
+
+Rebuild of /root/reference/lib/datasets/imdb.py and
+/root/reference/lib/roi_data_layer/roidb.py: an imdb provides a named list of
+images with gt box annotations (the "roidb"); preparation adds flipped copies,
+per-entry max-overlap stats, filters boxless images, and ranks entries by
+aspect ratio for grouped batching (ratio clamp [0.5, 2] + need_crop flag,
+roidb.py:49-73).
+
+All host-side numpy — this layer feeds the fixed-shape device pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List
+
+import numpy as np
+
+from .coco_api import iou_xywh
+
+
+class imdb:
+    """Abstract image database (lib/datasets/imdb.py:25)."""
+
+    def __init__(self, name: str, classes=None):
+        self._name = name
+        self._classes = classes or []
+        self._image_index: List = []
+        self._roidb = None
+        self._roidb_handler = self.default_roidb
+        self.config = {}
+
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def classes(self):
+        return self._classes
+
+    @property
+    def num_classes(self):
+        return len(self._classes)
+
+    @property
+    def image_index(self):
+        return self._image_index
+
+    @property
+    def num_images(self):
+        return len(self._image_index)
+
+    @property
+    def roidb(self):
+        if self._roidb is None:
+            self._roidb = self._roidb_handler()
+        return self._roidb
+
+    @property
+    def roidb_handler(self):
+        return self._roidb_handler
+
+    @roidb_handler.setter
+    def roidb_handler(self, val):
+        self._roidb_handler = val
+
+    @property
+    def cache_path(self):
+        path = os.path.join(self._data_root(), "cache")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def _data_root(self):
+        return os.environ.get("RLOD_DATA_DIR", os.path.join(os.getcwd(), "data"))
+
+    def image_path_at(self, i):
+        raise NotImplementedError
+
+    def image_id_at(self, i):
+        return i
+
+    def default_roidb(self):
+        raise NotImplementedError
+
+    def gt_roidb(self):
+        raise NotImplementedError
+
+    def evaluate_detections(self, all_boxes, output_dir=None):
+        """all_boxes[cls][image] = N x 5 array (x1, y1, x2, y2, score)
+        (imdb.py:99-108)."""
+        raise NotImplementedError
+
+    def append_flipped_images(self):
+        """Horizontal-flip augmentation (imdb.py:114-129): boxes mirrored in x,
+        entries appended with flipped=True; image_index doubled."""
+        num_images = self.num_images
+        widths = self._get_widths()
+        for i in range(num_images):
+            entry = self.roidb[i]
+            boxes = entry["boxes"].copy()
+            oldx1 = boxes[:, 0].copy()
+            oldx2 = boxes[:, 2].copy()
+            boxes[:, 0] = widths[i] - oldx2 - 1
+            boxes[:, 2] = widths[i] - oldx1 - 1
+            assert (boxes[:, 2] >= boxes[:, 0]).all()
+            new_entry = dict(entry)
+            new_entry["boxes"] = boxes
+            new_entry["flipped"] = True
+            self.roidb.append(new_entry)
+        self._image_index = self._image_index * 2
+
+    def _get_widths(self):
+        return [r["width"] for r in self.roidb]
+
+    def evaluate_recall(self, candidate_boxes=None, thresholds=None, area="all",
+                        limit=None):
+        """Proposal-recall eval (imdb.py:131-219), gt-overlap based."""
+        areas = {
+            "all": 0, "small": 1, "medium": 2, "large": 3,
+            "96-128": 4, "128-256": 5, "256-512": 6, "512-inf": 7,
+        }
+        area_ranges = [
+            [0 ** 2, 1e5 ** 2], [0 ** 2, 32 ** 2], [32 ** 2, 96 ** 2],
+            [96 ** 2, 1e5 ** 2], [96 ** 2, 128 ** 2], [128 ** 2, 256 ** 2],
+            [256 ** 2, 512 ** 2], [512 ** 2, 1e5 ** 2],
+        ]
+        assert area in areas
+        area_range = area_ranges[areas[area]]
+        gt_overlaps = np.zeros(0)
+        num_pos = 0
+        for i in range(self.num_images):
+            entry = self.roidb[i]
+            max_gt_overlaps = entry["gt_overlaps"].max(axis=1)
+            gt_inds = np.where((entry["gt_classes"] > 0) & (max_gt_overlaps == 1))[0]
+            gt_boxes = entry["boxes"][gt_inds, :]
+            gt_areas = entry["seg_areas"][gt_inds] if "seg_areas" in entry else (
+                (gt_boxes[:, 2] - gt_boxes[:, 0] + 1) * (gt_boxes[:, 3] - gt_boxes[:, 1] + 1)
+            )
+            valid_gt_inds = np.where(
+                (gt_areas >= area_range[0]) & (gt_areas <= area_range[1])
+            )[0]
+            gt_boxes = gt_boxes[valid_gt_inds, :]
+            num_pos += len(valid_gt_inds)
+            if candidate_boxes is None:
+                non_gt_inds = np.where(entry["gt_classes"] == 0)[0]
+                boxes = entry["boxes"][non_gt_inds, :]
+            else:
+                boxes = candidate_boxes[i]
+            if boxes.shape[0] == 0 or gt_boxes.shape[0] == 0:
+                continue
+            if limit is not None and boxes.shape[0] > limit:
+                boxes = boxes[:limit, :]
+            overlaps = bbox_overlaps_np(boxes.astype(float), gt_boxes.astype(float))
+            _gt_overlaps = np.zeros((gt_boxes.shape[0]))
+            for j in range(gt_boxes.shape[0]):
+                argmax_overlaps = overlaps.argmax(axis=0)
+                max_overlaps = overlaps.max(axis=0)
+                gt_ind = max_overlaps.argmax()
+                gt_ovr = max_overlaps.max()
+                assert gt_ovr >= 0
+                box_ind = argmax_overlaps[gt_ind]
+                _gt_overlaps[j] = overlaps[box_ind, gt_ind]
+                assert _gt_overlaps[j] == gt_ovr
+                overlaps[box_ind, :] = -1
+                overlaps[:, gt_ind] = -1
+            gt_overlaps = np.hstack((gt_overlaps, _gt_overlaps))
+        gt_overlaps = np.sort(gt_overlaps)
+        if thresholds is None:
+            step = 0.05
+            thresholds = np.arange(0.5, 0.95 + 1e-5, step)
+        recalls = np.zeros_like(thresholds)
+        for i, t in enumerate(thresholds):
+            recalls[i] = (gt_overlaps >= t).sum() / float(max(num_pos, 1))
+        ar = recalls.mean()
+        return {"ar": ar, "recalls": recalls, "thresholds": thresholds,
+                "gt_overlaps": gt_overlaps}
+
+    def create_roidb_from_box_list(self, box_list, gt_roidb):
+        """Proposal-file roidbs (imdb.py:221-248)."""
+        assert len(box_list) == self.num_images
+        roidb = []
+        for i in range(self.num_images):
+            boxes = box_list[i]
+            num_boxes = boxes.shape[0]
+            overlaps = np.zeros((num_boxes, self.num_classes), dtype=np.float32)
+            if gt_roidb is not None and gt_roidb[i]["boxes"].size > 0:
+                gt_boxes = gt_roidb[i]["boxes"]
+                gt_classes = gt_roidb[i]["gt_classes"]
+                gt_ov = bbox_overlaps_np(boxes.astype(float), gt_boxes.astype(float))
+                argmaxes = gt_ov.argmax(axis=1)
+                maxes = gt_ov.max(axis=1)
+                I = np.where(maxes > 0)[0]
+                overlaps[I, gt_classes[argmaxes[I]]] = maxes[I]
+            roidb.append(
+                {
+                    "boxes": boxes,
+                    "gt_classes": np.zeros((num_boxes,), dtype=np.int32),
+                    "gt_overlaps": overlaps,
+                    "flipped": False,
+                    "seg_areas": np.zeros((num_boxes,), dtype=np.float32),
+                }
+            )
+        return roidb
+
+    @staticmethod
+    def merge_roidbs(a, b):
+        assert len(a) == len(b)
+        for i in range(len(a)):
+            a[i]["boxes"] = np.vstack((a[i]["boxes"], b[i]["boxes"]))
+            a[i]["gt_classes"] = np.hstack((a[i]["gt_classes"], b[i]["gt_classes"]))
+            a[i]["gt_overlaps"] = np.vstack((a[i]["gt_overlaps"], b[i]["gt_overlaps"]))
+            a[i]["seg_areas"] = np.hstack((a[i]["seg_areas"], b[i]["seg_areas"]))
+        return a
+
+
+def bbox_overlaps_np(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """CPU IoU matrix with the +1 convention — replaces the Cython
+    bbox_overlaps (/root/reference/lib/model/utils/bbox.pyx:15)."""
+    iw = (
+        np.minimum(boxes[:, None, 2], query[None, :, 2])
+        - np.maximum(boxes[:, None, 0], query[None, :, 0]) + 1
+    )
+    ih = (
+        np.minimum(boxes[:, None, 3], query[None, :, 3])
+        - np.maximum(boxes[:, None, 1], query[None, :, 1]) + 1
+    )
+    iw = np.clip(iw, 0, None)
+    ih = np.clip(ih, 0, None)
+    area_b = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    area_q = (query[:, 2] - query[:, 0] + 1) * (query[:, 3] - query[:, 1] + 1)
+    inter = iw * ih
+    return inter / (area_b[:, None] + area_q[None, :] - inter)
+
+
+def prepare_roidb(im_db: imdb):
+    """Add image size / max_overlap / max_class fields (roidb.py:13-46)."""
+    roidb = im_db.roidb
+    for i in range(len(roidb)):
+        roidb[i]["img_id"] = im_db.image_id_at(i % im_db.num_images)
+        roidb[i]["image"] = im_db.image_path_at(i % im_db.num_images)
+        gt_overlaps = roidb[i]["gt_overlaps"]
+        max_overlaps = gt_overlaps.max(axis=1)
+        max_classes = gt_overlaps.argmax(axis=1)
+        roidb[i]["max_classes"] = max_classes
+        roidb[i]["max_overlaps"] = max_overlaps
+        zero_inds = np.where(max_overlaps == 0)[0]
+        assert all(max_classes[zero_inds] == 0)
+        nonzero_inds = np.where(max_overlaps > 0)[0]
+        assert all(max_classes[nonzero_inds] != 0)
+
+
+def rank_roidb_ratio(roidb):
+    """Aspect-ratio sort with clamp to [0.5, 2] + need_crop flag (roidb.py:49-73)."""
+    ratio_large = 2
+    ratio_small = 0.5
+    ratio_list = []
+    for entry in roidb:
+        width = entry["width"]
+        height = entry["height"]
+        ratio = width / float(height)
+        if ratio > ratio_large:
+            entry["need_crop"] = 1
+            ratio = ratio_large
+        elif ratio < ratio_small:
+            entry["need_crop"] = 1
+            ratio = ratio_small
+        else:
+            entry["need_crop"] = 0
+        ratio_list.append(ratio)
+    ratio_list = np.array(ratio_list)
+    ratio_index = np.argsort(ratio_list)
+    return ratio_list[ratio_index], ratio_index
+
+
+def filter_roidb(roidb):
+    """Drop images without any usable roi (roidb.py:75-86)."""
+    out = [entry for entry in roidb if len(entry["boxes"]) > 0]
+    print(f"before filtering, there are {len(roidb)} images...")
+    print(f"after filtering, there are {len(out)} images...")
+    return out
+
+
+def combined_roidb(imdb_names: str, training: bool = True, use_flipped: bool = True):
+    """Build (possibly '+'-concatenated) roidbs (roidb.py:88-132)."""
+    from .factory import get_imdb
+
+    def get_training_roidb(im_db):
+        if use_flipped and training:
+            print("Appending horizontally-flipped training examples...")
+            im_db.append_flipped_images()
+            print("done")
+        print("Preparing training data...")
+        prepare_roidb(im_db)
+        print("done")
+        return im_db.roidb
+
+    def get_roidb(name):
+        im_db = get_imdb(name)
+        print(f"Loaded dataset `{im_db.name}`")
+        roidb = get_training_roidb(im_db)
+        return im_db, roidb
+
+    names = imdb_names.split("+")
+    pairs = [get_roidb(s) for s in names]
+    im_db, roidb = pairs[0]
+    for _, r in pairs[1:]:
+        roidb.extend(r)
+    if training:
+        roidb = filter_roidb(roidb)
+    ratio_list, ratio_index = rank_roidb_ratio(roidb)
+    return im_db, roidb, ratio_list, ratio_index

@@ -1,0 +1,49 @@
+"""Loss functions.
+
+Smooth-L1 mirrors _smooth_l1_loss (/root/reference/lib/model/utils/net_utils.py:73-87)
+including its sigma/inside/outside-weight semantics and sum-then-mean dims;
+cross entropies are masked fixed-shape equivalents of the reference's
+index_select-then-F.cross_entropy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def smooth_l1_loss(bbox_pred, bbox_targets, bbox_inside_weights,
+                   bbox_outside_weights, sigma: float = 1.0, reduce_dims=(-1,)):
+    """net_utils.py:73-87. Sums over `reduce_dims`, then means the rest."""
+    sigma_2 = sigma ** 2
+    box_diff = bbox_pred - bbox_targets
+    in_box_diff = bbox_inside_weights * box_diff
+    abs_in = jnp.abs(in_box_diff)
+    sign = (abs_in < 1.0 / sigma_2).astype(bbox_pred.dtype)
+    in_loss = (in_box_diff ** 2) * (sigma_2 / 2.0) * sign + (abs_in - 0.5 / sigma_2) * (1.0 - sign)
+    out_loss = bbox_outside_weights * in_loss
+    loss = out_loss.sum(axis=tuple(reduce_dims))
+    return loss.mean()
+
+
+def softmax_cross_entropy(logits, labels, valid_mask=None):
+    """Mean CE over valid entries.
+
+    logits: [..., C]; labels: [...] int; valid_mask: [...] bool (None = all).
+    Matches F.cross_entropy over the index_select'ed subset (rpn.py:96-99,
+    faster_rcnn.py:104).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if valid_mask is None:
+        return -ll.mean()
+    valid = valid_mask.astype(jnp.float32)
+    return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+
+def weighted_mse_loss(pred, targets, weights):
+    """RL action-value loss (Reinforcement/resnet.py:195-199):
+    mean((pred-t)²·w), plus the unweighted mean for logging."""
+    noweight = (pred - targets) ** 2
+    loss = (noweight * weights).mean()
+    return loss, noweight.mean()

@@ -1,0 +1,251 @@
+"""Target assignment layers (train-time, no-grad) in pure jnp.
+
+Rebuilds of:
+  * _AnchorTargetLayer (/root/reference/lib/model/rpn/anchor_target_layer.py:31-218)
+  * _ProposalTargetLayer (/root/reference/lib/model/rpn/proposal_target_layer_cascade.py:20-213)
+
+The reference gathers "inside" anchors with dynamic `nonzero` and later unmaps;
+here everything stays full-size with masks (outside anchors keep label −1 /
+weight 0 — identical observable outputs). numpy-permutation subsampling becomes
+jax.random uniform-priority top-k: the sampled *distribution* matches (uniform
+without replacement); bitwise RNG parity is neither possible nor needed
+(SURVEY.md §7 "RNG parity").
+
+Known reference defects NOT replicated (SURVEY.md §2.7): the positive/negative
+outside-weight normalizer is computed per image here rather than from the stale
+loop variable of the last batch element (anchor_target_layer.py:154-163).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.anchors import shifted_anchors
+from ..ops.boxes import bbox_overlaps_masked, bbox_transform
+
+BIG_NEG = -1e9
+
+
+def _rank_by_random(key, mask: jnp.ndarray) -> jnp.ndarray:
+    """ranks [N]: position of each element in a random ordering of the True set
+    (False entries get rank >= num_true)."""
+    u = jax.random.uniform(key, mask.shape)
+    pri = jnp.where(mask, u, BIG_NEG)
+    order = jnp.argsort(-pri)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return inv
+
+
+class AnchorTargets(NamedTuple):
+    labels: jnp.ndarray            # [B, N] in {-1, 0, 1}
+    bbox_targets: jnp.ndarray      # [B, N, 4]
+    bbox_inside_weights: jnp.ndarray   # [B, N, 4]
+    bbox_outside_weights: jnp.ndarray  # [B, N, 4]
+
+
+def anchor_target(
+    key,
+    feat_hw,                      # (H, W) static feature-map size
+    gt_boxes: jnp.ndarray,        # [B, G, 5] (x1, y1, x2, y2, cls), zero-padded
+    im_info: jnp.ndarray,         # [B, 3]
+    *,
+    feat_stride: int,
+    anchor_scales,
+    anchor_ratios,
+    rpn_batch_size: int = 256,
+    fg_fraction: float = 0.5,
+    positive_overlap: float = 0.7,
+    negative_overlap: float = 0.3,
+    clobber_positives: bool = False,
+    allowed_border: float = 0.0,
+) -> AnchorTargets:
+    """Anchor classification labels + regression targets over the full anchor grid.
+
+    Label/bbox layout is flat [B, H·W·A] in (h, w, a) order — the same element
+    order the reference's (B, A·4, H, W) tensors carry after its permutes, so the
+    RPN loss consumes either identically.
+    """
+    h, w = feat_hw
+    anchors = jnp.asarray(shifted_anchors(h, w, feat_stride,
+                                          ratios=tuple(anchor_ratios),
+                                          scales=tuple(anchor_scales)))
+    n = anchors.shape[0]
+    b = gt_boxes.shape[0]
+
+    # Inside-image mask. Reference quirk preserved: bounds come from im_info[0]
+    # for the whole batch (anchor_target_layer.py:85-88) — images in a batch are
+    # padded to a common blob, so this keeps the anchor set batch-uniform.
+    im_h, im_w = im_info[0, 0], im_info[0, 1]
+    inside = (
+        (anchors[:, 0] >= -allowed_border)
+        & (anchors[:, 1] >= -allowed_border)
+        & (anchors[:, 2] < im_w + allowed_border)
+        & (anchors[:, 3] < im_h + allowed_border)
+    )                                                               # [N]
+
+    overlaps = bbox_overlaps_masked(
+        jnp.broadcast_to(anchors[None], (b, n, 4)), gt_boxes
+    )                                                               # [B, N, G]
+    max_overlaps = overlaps.max(axis=2)                             # [B, N]
+    argmax_overlaps = overlaps.argmax(axis=2)                       # [B, N]
+    gt_max = overlaps.max(axis=1)                                   # [B, G]
+    gt_max = jnp.where(gt_max == 0, 1e-5, gt_max)
+    best_for_gt = (overlaps == gt_max[:, None, :]).sum(axis=2) > 0  # [B, N]
+
+    labels = jnp.full((b, n), -1.0)
+    if not clobber_positives:
+        labels = jnp.where(max_overlaps < negative_overlap, 0.0, labels)
+    labels = jnp.where(best_for_gt, 1.0, labels)
+    labels = jnp.where(max_overlaps >= positive_overlap, 1.0, labels)
+    if clobber_positives:
+        labels = jnp.where(max_overlaps < negative_overlap, 0.0, labels)
+    labels = jnp.where(inside[None, :], labels, -1.0)
+
+    num_fg = int(fg_fraction * rpn_batch_size)
+    kf, kb = jax.random.split(key)
+
+    def subsample(labels_i, kf_i, kb_i):
+        fg = labels_i == 1
+        bg = labels_i == 0
+        sum_fg = fg.sum()
+        sum_bg = bg.sum()
+        fg_ranks = _rank_by_random(kf_i, fg)
+        labels_i = jnp.where(fg & (fg_ranks >= num_fg), -1.0, labels_i)
+        # reference computes the bg budget from the PRE-subsample fg count
+        # (anchor_target_layer.py:133)
+        num_bg = rpn_batch_size - sum_fg
+        bg_ranks = _rank_by_random(kb_i, bg)
+        labels_i = jnp.where(bg & (bg_ranks >= num_bg), -1.0, labels_i)
+        return labels_i
+
+    labels = jax.vmap(subsample)(
+        labels, jax.random.split(kf, b), jax.random.split(kb, b)
+    )
+
+    # Regression targets toward each anchor's argmax gt.
+    matched_gt = jnp.take_along_axis(
+        gt_boxes[..., :4], argmax_overlaps[..., None], axis=1
+    )                                                               # [B, N, 4]
+    bbox_targets = bbox_transform(jnp.broadcast_to(anchors[None], (b, n, 4)),
+                                  matched_gt)
+
+    inside_w = jnp.where((labels == 1)[..., None], 1.0, 0.0) * jnp.ones((4,))
+    num_examples = jnp.maximum((labels >= 0).sum(axis=1), 1)        # per image
+    uniform_w = (1.0 / num_examples)[:, None]
+    outside_scalar = jnp.where(labels == 1, uniform_w, 0.0)
+    outside_scalar = jnp.where(labels == 0, uniform_w, outside_scalar)
+    outside_w = outside_scalar[..., None] * jnp.ones((4,))
+
+    bbox_targets = jnp.where((labels != -1)[..., None] & inside[None, :, None],
+                             bbox_targets, 0.0)
+    return AnchorTargets(labels, bbox_targets, inside_w, outside_w)
+
+
+class ProposalTargets(NamedTuple):
+    rois: jnp.ndarray              # [B, R, 5] (batch_idx, x1, y1, x2, y2)
+    labels: jnp.ndarray            # [B, R] int32 class labels (0 = bg)
+    bbox_targets: jnp.ndarray      # [B, R, 4]
+    bbox_inside_weights: jnp.ndarray   # [B, R, 4]
+    bbox_outside_weights: jnp.ndarray  # [B, R, 4]
+
+
+def proposal_target(
+    key,
+    all_rois: jnp.ndarray,         # [B, P, 5] proposals (batch idx col 0)
+    gt_boxes: jnp.ndarray,         # [B, G, 5], zero-padded
+    *,
+    rois_per_image: int = 128,
+    fg_fraction: float = 0.25,
+    fg_thresh: float = 0.5,
+    bg_thresh_hi: float = 0.5,
+    bg_thresh_lo: float = 0.1,
+    bbox_normalize_means=(0.0, 0.0, 0.0, 0.0),
+    bbox_normalize_stds=(0.1, 0.1, 0.2, 0.2),
+    bbox_inside_weights=(1.0, 1.0, 1.0, 1.0),
+    normalize_targets: bool = True,
+) -> ProposalTargets:
+    """Sample rois_per_image rois/image with fg/bg balancing + regression targets.
+
+    Mirrors proposal_target_layer_cascade.py: gt boxes are appended to the
+    candidate pool (l.39-43); fg sampled without replacement (capped at
+    fg_fraction·R), bg WITH replacement (l.141-205); bg labels clamped to 0;
+    targets normalized by precomputed means/stds (l.96-113).
+    """
+    b, p, _ = all_rois.shape
+    g = gt_boxes.shape[1]
+    fg_rois_per_image = max(1, int(round(fg_fraction * rois_per_image)))
+
+    gt_as_rois = jnp.concatenate(
+        [jnp.zeros((b, g, 1)), gt_boxes[..., :4]], axis=2
+    )
+    cand = jnp.concatenate([all_rois, gt_as_rois], axis=1)          # [B, P+G, 5]
+    n = p + g
+
+    overlaps = bbox_overlaps_masked(cand[..., 1:5], gt_boxes)       # [B, N, G]
+    max_overlaps = overlaps.max(axis=2)
+    gt_assignment = overlaps.argmax(axis=2)
+    labels_all = jnp.take_along_axis(gt_boxes[..., 4], gt_assignment, axis=1)
+
+    fg_mask = max_overlaps >= fg_thresh
+    bg_mask = (max_overlaps < bg_thresh_hi) & (max_overlaps >= bg_thresh_lo)
+
+    def sample_one_v(ki, fg_m, bg_m, labels_i):
+        # fg: first fg_this of a random-order fg list when both pools exist
+        # (without replacement, proposal_target_layer_cascade.py:157-162);
+        # single-pool cases and bg sample WITH replacement (l.169-196);
+        # an image with neither pool (reference raises, l.201) falls back to
+        # candidate 0 as background.
+        k1, k2, k3 = jax.random.split(ki, 3)
+        fg_num = fg_m.sum()
+        bg_num = bg_m.sum()
+        fg_pri = jnp.where(fg_m, jax.random.uniform(k1, (n,)), BIG_NEG)
+        fg_list = jnp.argsort(-fg_pri)
+        bg_pri = jnp.where(bg_m, jax.random.uniform(k2, (n,)), BIG_NEG)
+        bg_list = jnp.argsort(-bg_pri)
+
+        both = (fg_num > 0) & (bg_num > 0)
+        fg_this = jnp.where(
+            both,
+            jnp.minimum(fg_rois_per_image, fg_num),
+            jnp.where(fg_num > 0, rois_per_image, 0),
+        )
+        slot = jnp.arange(rois_per_image)
+        is_fg_slot = slot < fg_this
+        u = jax.random.uniform(k3, (rois_per_image,))
+        fg_wo = jnp.take(fg_list, jnp.minimum(slot, jnp.maximum(fg_num - 1, 0)))
+        fg_wr = jnp.take(fg_list, (u * jnp.maximum(fg_num, 1)).astype(jnp.int32))
+        fg_pick = jnp.where(both, fg_wo, fg_wr)
+        bg_pick = jnp.take(bg_list, (u * jnp.maximum(bg_num, 1)).astype(jnp.int32))
+        keep = jnp.where(is_fg_slot, fg_pick, bg_pick)
+        keep = jnp.where((fg_num == 0) & (bg_num == 0), 0, keep)
+        lab = jnp.take(labels_i, keep)
+        lab = jnp.where(is_fg_slot, lab, 0.0)
+        lab = jnp.where((fg_num == 0) & (bg_num == 0), 0.0, lab)
+        return keep, lab, is_fg_slot
+
+    keys = jax.random.split(key, b)
+    keep_inds, labels, is_fg = jax.vmap(sample_one_v)(keys, fg_mask, bg_mask, labels_all)
+
+    rois = jnp.take_along_axis(cand, keep_inds[..., None], axis=1)   # [B, R, 5]
+    rois = rois.at[..., 0].set(jnp.arange(b, dtype=rois.dtype)[:, None])
+
+    matched_gt = jnp.take_along_axis(
+        gt_boxes, jnp.take_along_axis(gt_assignment, keep_inds, axis=1)[..., None],
+        axis=1,
+    )                                                                # [B, R, 5]
+    targets = bbox_transform(rois[..., 1:5], matched_gt[..., :4])
+    if normalize_targets:
+        means = jnp.asarray(bbox_normalize_means)
+        stds = jnp.asarray(bbox_normalize_stds)
+        targets = (targets - means) / stds
+
+    fg_sel = (labels > 0)[..., None]
+    bbox_targets = jnp.where(fg_sel, targets, 0.0)
+    inside_w = jnp.where(fg_sel, jnp.asarray(bbox_inside_weights), 0.0)
+    outside_w = (inside_w > 0).astype(jnp.float32)
+
+    return ProposalTargets(rois, labels.astype(jnp.int32), bbox_targets,
+                           inside_w, outside_w)
