@@ -1,0 +1,95 @@
+"""Benchmark: ResNet-101 Faster R-CNN training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference trains Res-101 COCO at scale 800 on
+8× Titan X at 6.0 hr/epoch ≈ 0.68 images/sec/GPU. vs_baseline is the per-chip
+multiple of that number (target ≥ 3.0).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_GPU = 0.68
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.config import Config
+    from rlobjectdetection_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from rlobjectdetection_tpu.models import FasterRCNN
+
+    # COCO scale-800 config (BASELINE.md bench row): short side 800, padded to
+    # 800×1216, COCO anchor scales.
+    cfg = Config(
+        ANCHOR_SCALES=(4, 8, 16, 32),
+        MAX_NUM_GT_BOXES=50,
+    )
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    h, w, g = 800, 1216, 50
+    model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
+
+    rng = np.random.RandomState(3)
+    batch = {
+        "data": jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32) * 10),
+        "im_info": jnp.asarray(np.array([[h, w, 1.0]] * batch_size, dtype=np.float32)),
+        "gt_boxes": jnp.asarray(_gt(rng, batch_size, g, h, w)),
+        "num_boxes": jnp.asarray(np.full((batch_size,), 8, dtype=np.int32)),
+    }
+
+    tx, _ = build_optimizer(
+        model.init(
+            {"params": jax.random.PRNGKey(3), "sampling": jax.random.PRNGKey(4),
+             "dropout": jax.random.PRNGKey(5)},
+            batch["data"], batch["im_info"], batch["gt_boxes"], batch["num_boxes"],
+            train=True,
+        )["params"],
+        "resnet101", base_lr=0.01,
+    )
+    state = create_train_state(model, tx, batch)
+    step = make_train_step(model, tx)
+
+    key = jax.random.PRNGKey(7)
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_res101_coco800",
+                "value": round(img_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
+            }
+        )
+    )
+
+
+def _gt(rng, b, g, h, w):
+    gt = np.zeros((b, g, 5), dtype=np.float32)
+    for i in range(b):
+        for j in range(8):
+            x1, y1 = rng.randint(0, w - 200), rng.randint(0, h - 200)
+            gt[i, j] = [x1, y1, x1 + rng.randint(40, 190), y1 + rng.randint(40, 190),
+                        1 + rng.randint(80)]
+    return gt
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Aspect-ratio-grouped batch loader.
+
+Rebuild of /root/reference/lib/roi_data_layer/roibatchLoader.py + the batch
+sampler (RCNN_bases/trainval_net.py:123-146): images sorted by aspect ratio;
+each batch is a contiguous block with one target ratio (leftmost ratio if the
+block is all-tall, rightmost if all-wide, 1.0 if it straddles, l.38-54); images
+needing crop get a gt-aware random crop window (l.88-158); every image is then
+zero-padded to the batch's target-ratio canvas (l.160-186); gt boxes fixed-pad
+to MAX_NUM_GT_BOXES (l.193-197).
+
+TPU redesign: instead of the reference's per-sample torch Dataset + collate,
+batches are assembled host-side into NHWC numpy blobs whose padded H×W is
+quantized to multiples of `pad_multiple` — a bounded set of compiled shapes per
+(scale, orientation) bucket rather than one shape per image.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from .minibatch import PIXEL_MEANS_BGR, pad_gt_boxes, pad_shape, prep_im_for_blob, read_image_bgr
+
+
+class DetectionBatch(dict):
+    """dict with keys: data [N,H,W,3], im_info [N,3], gt_boxes [N,Gmax,5],
+    num_boxes [N]."""
+
+
+def compute_batch_ratios(ratio_list: np.ndarray, batch_size: int) -> np.ndarray:
+    """Per-sample target ratio, constant within each contiguous batch block
+    (roibatchLoader.py:38-54)."""
+    n = len(ratio_list)
+    out = np.zeros(n, dtype=np.float64)
+    num_batch = int(np.ceil(n / batch_size))
+    for i in range(num_batch):
+        left = i * batch_size
+        right = min((i + 1) * batch_size - 1, n - 1)
+        if ratio_list[right] < 1:
+            target = ratio_list[left]
+        elif ratio_list[left] > 1:
+            target = ratio_list[right]
+        else:
+            target = 1.0
+        out[left : right + 1] = target
+    return out
+
+
+def _crop_to_ratio(im, gt_boxes, ratio, rng):
+    """gt-aware crop toward the target ratio (roibatchLoader.py:88-158)."""
+    h, w = im.shape[:2]
+    if gt_boxes.shape[0] == 0:
+        return im, gt_boxes
+    if ratio < 1:
+        min_y = int(gt_boxes[:, 1].min())
+        max_y = int(gt_boxes[:, 3].max())
+        trim = min(int(np.floor(w / ratio)), h)
+        box_region = max_y - min_y + 1
+        if min_y == 0:
+            y_s = 0
+        elif box_region < trim:
+            y_s_min = max(max_y - trim, 0)
+            y_s_max = min(min_y, h - trim)
+            y_s = y_s_min if y_s_min >= y_s_max else rng.randint(y_s_min, y_s_max)
+        else:
+            add = (box_region - trim) // 2
+            y_s = min_y if add == 0 else rng.randint(min_y, min_y + add)
+        im = im[y_s : y_s + trim, :, :]
+        gt_boxes = gt_boxes.copy()
+        gt_boxes[:, 1] = np.clip(gt_boxes[:, 1] - y_s, 0, trim - 1)
+        gt_boxes[:, 3] = np.clip(gt_boxes[:, 3] - y_s, 0, trim - 1)
+    elif ratio > 1:
+        min_x = int(gt_boxes[:, 0].min())
+        max_x = int(gt_boxes[:, 2].max())
+        trim = min(int(np.ceil(h * ratio)), w)
+        box_region = max_x - min_x + 1
+        if min_x == 0:
+            x_s = 0
+        elif box_region < trim:
+            x_s_min = max(max_x - trim, 0)
+            x_s_max = min(min_x, w - trim)
+            x_s = x_s_min if x_s_min >= x_s_max else rng.randint(x_s_min, x_s_max)
+        else:
+            add = (box_region - trim) // 2
+            x_s = min_x if add == 0 else rng.randint(min_x, min_x + add)
+        im = im[:, x_s : x_s + trim, :]
+        gt_boxes = gt_boxes.copy()
+        gt_boxes[:, 0] = np.clip(gt_boxes[:, 0] - x_s, 0, trim - 1)
+        gt_boxes[:, 2] = np.clip(gt_boxes[:, 2] - x_s, 0, trim - 1)
+    return im, gt_boxes
+
+
+class RoiBatchLoader:
+    """Training loader yielding fixed-shape NHWC batches."""
+
+    def __init__(self, roidb, ratio_list, ratio_index, batch_size: int,
+                 scales=(600,), max_num_gt: int = 20, pad_multiple: int = 32,
+                 seed: int = 3, training: bool = True):
+        self.roidb = roidb
+        self.ratio_list = ratio_list
+        self.ratio_index = ratio_index
+        self.batch_size = batch_size
+        self.scales = scales
+        self.max_num_gt = max_num_gt
+        self.pad_multiple = pad_multiple
+        self.training = training
+        self.rng = np.random.RandomState(seed)
+        self.batch_ratios = compute_batch_ratios(ratio_list, batch_size)
+        self.num_batches = len(roidb) // batch_size if training else int(
+            np.ceil(len(roidb) / batch_size)
+        )
+
+    def __len__(self):
+        return self.num_batches
+
+    def _load_one(self, index: int, target_ratio: float):
+        entry = self.roidb[index]
+        im = read_image_bgr(entry["image"])
+        if entry.get("flipped", False):
+            im = im[:, ::-1, :]
+        scale = self.scales[self.rng.randint(0, len(self.scales))]
+        im, im_scale = prep_im_for_blob(im, PIXEL_MEANS_BGR, scale)
+
+        gt_inds = np.where(entry["gt_classes"] != 0)[0]
+        gt_boxes = np.zeros((len(gt_inds), 5), dtype=np.float32)
+        gt_boxes[:, :4] = entry["boxes"][gt_inds, :].astype(np.float32) * im_scale
+        gt_boxes[:, 4] = entry["gt_classes"][gt_inds]
+        self.rng.shuffle(gt_boxes)
+
+        if self.training and entry.get("need_crop", 0):
+            im, gt_boxes = _crop_to_ratio(im, gt_boxes, target_ratio, self.rng)
+
+        # drop degenerate boxes after crop (roibatchLoader.py:189-191)
+        keep = (gt_boxes[:, 0] != gt_boxes[:, 2]) & (gt_boxes[:, 1] != gt_boxes[:, 3])
+        gt_boxes = gt_boxes[keep]
+        return im, gt_boxes, im_scale
+
+    def _assemble(self, indices, target_ratio: float) -> DetectionBatch:
+        ims, gts, scales = [], [], []
+        for idx in indices:
+            im, gt, s = self._load_one(idx, target_ratio)
+            ims.append(im)
+            gts.append(gt)
+            scales.append(s)
+        max_h = max(im.shape[0] for im in ims)
+        max_w = max(im.shape[1] for im in ims)
+        ph, pw = pad_shape(max_h, max_w, self.pad_multiple)
+        blob = np.zeros((len(ims), ph, pw, 3), dtype=np.float32)
+        im_info = np.zeros((len(ims), 3), dtype=np.float32)
+        for i, im in enumerate(ims):
+            blob[i, : im.shape[0], : im.shape[1]] = im
+            im_info[i] = (im.shape[0], im.shape[1], scales[i])
+        gt_pad, num = pad_gt_boxes(gts, self.max_num_gt)
+        return DetectionBatch(
+            data=blob, im_info=im_info, gt_boxes=gt_pad, num_boxes=num
+        )
+
+    def __iter__(self) -> Iterator[DetectionBatch]:
+        n = len(self.roidb)
+        if self.training:
+            # the reference sampler (RCNN_bases/trainval_net.py:123-146): random
+            # permutation of whole batches over the ratio-sorted index
+            starts = self.rng.permutation(self.num_batches) * self.batch_size
+            for s in starts:
+                idxs = [int(self.ratio_index[i]) for i in range(s, s + self.batch_size)]
+                yield self._assemble(idxs, float(self.batch_ratios[s]))
+        else:
+            for s in range(0, n, self.batch_size):
+                idxs = list(range(s, min(s + self.batch_size, n)))
+                yield self._assemble(idxs, 1.0)

@@ -1,0 +1,83 @@
+"""Checkpoint / resume via orbax.
+
+Rebuild of the reference's torch .pth checkpointing with the same payload
+fields: base detector saves {session, epoch, model, optimizer, pooling_mode,
+class_agnostic} per epoch (RCNN_bases/trainval_net.py:374-394) and restores
+optimizer state + LR + pooling mode on resume (l.278-290; test restores
+pooling_mode, test_net.py:171-172). RL saves {epoch, state_dict}
+(trainval_net.py:159-172).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(path: str, state, *, session: int = 1, epoch: int = 0,
+                    pooling_mode: str = "align", class_agnostic: bool = False,
+                    extra: dict | None = None):
+    """Save a train state + metadata; path is a directory."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "meta": {
+            "session": session,
+            "epoch": epoch,
+            "pooling_mode": pooling_mode,
+            "class_agnostic": class_agnostic,
+            **(extra or {}),
+        },
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: str, state=None):
+    """Load a checkpoint; if `state` is given, restores into its structure
+    (shapes/dtypes preserved). Returns (state_or_tree, meta)."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if state is not None:
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "meta": None,
+        }
+        try:
+            restored = ckptr.restore(path, item=template)
+        except TypeError:
+            restored = ckptr.restore(path)
+        new_state = state._replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
+        return new_state, restored.get("meta", {})
+    restored = ckptr.restore(path)
+    return restored, restored.get("meta", {})
+
+
+def save_params(path: str, params):
+    ocp = _ocp()
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), {"params": params}, force=True)
+
+
+def load_params(path: str):
+    ocp = _ocp()
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))["params"]

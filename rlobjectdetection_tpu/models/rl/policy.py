@@ -1,0 +1,84 @@
+"""RL action-value network: ResNet-101 trunk + RoIAlignAvg + action head.
+
+Rebuild of /root/reference/lib/model/Reinforcement/resnet.py:105-199: trunk =
+conv1..layer3 (frozen in training, l.139-147); RoIAlignAvg 7×7 at 1/16 on the
+proposals (l.122, 180); layer4 with STRIDE 1 (l.120 — unlike the detector) +
+global mean pool; fc8 (2048→4096) + ReLU + fc (4096→num_acts) (l.124-125,
+188-190); weighted-MSE loss vs ±1 targets (l.195-199).
+
+Training warm-starts the trunk from the detector checkpoint with strict=False
+(trainval_net.py:96-99) — here: copy the matching subtree of the detector's
+param pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.roi_align import roi_align_avg
+from ..backbones.resnet import ResNetBase, ResNetHead
+from ..losses import weighted_mse_loss
+
+
+class RLPolicyNet(nn.Module):
+    num_acts: int = 56
+    num_layers: int = 101
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype)
+        self.head = ResNetHead(num_layers=self.num_layers, dtype=self.dtype,
+                               stride=1)   # stride-1 layer4 (l.120)
+        self.fc8 = nn.Dense(4096, dtype=self.dtype, name="fc8")
+        self.fc = nn.Dense(self.num_acts, dtype=self.dtype, name="fc")
+
+    def __call__(self, img, bboxes, targets=None, weights=None):
+        """img: [B, H, W, 3] RGB normalized; bboxes: [B, N, 5+]
+        (batch_id, x1, y1, x2, y2, ...); targets/weights: [B, N, num_acts].
+
+        Returns (pred [B·N, num_acts], loss, noweight_loss) — loss terms 0 when
+        targets is None.
+        """
+        rois = bboxes.reshape(-1, bboxes.shape[-1])[:, :5].astype(jnp.float32)
+        x = self.base(img.astype(self.dtype))
+        roi_feat = roi_align_avg(x.astype(jnp.float32), rois, 7, 1.0 / 16.0)
+        pooled = self.head(roi_feat.astype(self.dtype))            # [B·N, 2048]
+        h = nn.relu(self.fc8(pooled))
+        pred = self.fc(h).astype(jnp.float32)                      # [B·N, A]
+
+        if targets is None:
+            return pred, jnp.float32(0.0), jnp.float32(0.0)
+        t = targets.reshape(-1, self.num_acts)
+        w = weights.reshape(-1, self.num_acts)
+        loss, noweight = weighted_mse_loss(pred, t, w)
+        return pred, loss, noweight
+
+
+def warm_start_from_detector(rl_params, detector_params):
+    """Copy the detector's base (conv1..layer3) and head (layer4) into the RL
+    net where shapes match — the strict=False torch.load of trainval_net.py:96-99.
+    """
+    import jax
+
+    out = jax.tree_util.tree_map(lambda x: x, rl_params)  # copy structure
+    for key in ("base", "head"):
+        if key in detector_params and key in out:
+            src_flat = jax.tree_util.tree_flatten_with_path(detector_params[key])[0]
+            dst = out[key]
+            for path, val in src_flat:
+                node = dst
+                ok = True
+                for p in path[:-1]:
+                    k = p.key
+                    if k not in node:
+                        ok = False
+                        break
+                    node = node[k]
+                if ok:
+                    leaf_key = path[-1].key
+                    if leaf_key in node and node[leaf_key].shape == val.shape:
+                        node[leaf_key] = val
+    return out

@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers — the SPMD replacement for nn.DataParallel.
+
+The reference scales with single-host nn.DataParallel (replicate module,
+scatter batch, gather losses — RCNN_bases/trainval_net.py:292-293) over NCCL.
+TPU-native equivalent (SURVEY.md §2.6): a 1-D `jax.sharding.Mesh` over the
+'data' axis; the global batch is sharded batch-wise, parameters are replicated,
+and XLA emits the psum gradient all-reduce over ICI on its own when the jitted
+train step consumes sharded batches with replicated params. Multi-host extends
+the same mesh over DCN via jax.distributed.initialize — no code changes.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+    """Device-put each array sharded on its leading (batch) dim."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

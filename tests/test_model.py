@@ -1,0 +1,132 @@
+"""End-to-end model smoke tests on tiny shapes (CPU, 8 fake devices)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rlobjectdetection_tpu.config import Config, TestConfig, TrainConfig
+from rlobjectdetection_tpu.engine import (
+    build_optimizer,
+    create_train_state,
+    make_train_step,
+    postprocess_detections,
+)
+from rlobjectdetection_tpu.models import FasterRCNN
+
+
+def tiny_cfg(**kw):
+    # small proposal counts to keep CPU compile fast
+    train = TrainConfig(RPN_PRE_NMS_TOP_N=256, RPN_POST_NMS_TOP_N=64, BATCH_SIZE=32)
+    test = TestConfig(RPN_PRE_NMS_TOP_N=128, RPN_POST_NMS_TOP_N=32, MAX_DETS_PER_IMAGE=20)
+    return Config(TRAIN=train, TEST=test, DTYPE="float32", NMS_TILE=64, **kw)
+
+
+def jit_init(model, *args, train):
+    # flax init un-jitted dispatches thousands of tiny eager CPU ops (~80s);
+    # jitting it traces once
+    key = jax.random.PRNGKey(0)
+    rngs = {"params": key, "sampling": key, "dropout": key}
+    return jax.jit(model.init, static_argnames="train")(rngs, *args, train=train)
+
+
+def _batch(b=2, h=128, w=160, g=5):
+    rng = np.random.RandomState(3)
+    data = rng.randn(b, h, w, 3).astype(np.float32) * 10
+    im_info = np.array([[h, w, 1.0]] * b, dtype=np.float32)
+    gt = np.zeros((b, g, 5), dtype=np.float32)
+    for i in range(b):
+        for j in range(2):
+            x1, y1 = rng.randint(0, w - 40), rng.randint(0, h - 40)
+            gt[i, j] = [x1, y1, x1 + 30 + rng.randint(10), y1 + 30 + rng.randint(10),
+                        1 + rng.randint(3)]
+    num = np.full((b,), 2, dtype=np.int32)
+    return {"data": data, "im_info": im_info, "gt_boxes": gt, "num_boxes": num}
+
+
+@pytest.mark.parametrize("backbone", ["vgg16", "resnet50"])
+def test_forward_inference(backbone):
+    cfg = tiny_cfg()
+    model = FasterRCNN(num_classes=4, backbone=backbone, cfg=cfg)
+    batch = _batch()
+    variables = jit_init(
+        model, jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]), train=False
+    )
+    out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]),
+        train=False,
+    )
+    b = batch["data"].shape[0]
+    r = cfg.TEST.RPN_POST_NMS_TOP_N
+    assert out["rois"].shape == (b, r, 5)
+    assert out["cls_prob"].shape == (b, r, 4)
+    assert out["bbox_pred"].shape == (b, r, 16)
+    probs = np.asarray(out["cls_prob"])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+    # rois stay within the image
+    rois = np.asarray(out["rois"])
+    assert (rois[..., 1:] >= 0).all()
+    assert (rois[..., 1] <= batch["data"].shape[2] - 1).all()
+    assert (rois[..., 2] <= batch["data"].shape[1] - 1).all()
+
+
+@pytest.mark.parametrize("pooling_mode", ["align"])
+def test_train_step_all_pooling_modes(pooling_mode):
+    cfg = dataclasses.replace(tiny_cfg(), POOLING_MODE=pooling_mode)
+    model = FasterRCNN(num_classes=4, backbone="resnet50", cfg=cfg)
+    batch = _batch()
+    tx, labels = build_optimizer(
+        model_params := jit_init(
+            model, jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]),
+            jnp.asarray(batch["gt_boxes"]), jnp.asarray(batch["num_boxes"]),
+            train=True,
+        )["params"],
+        "resnet50", base_lr=0.001,
+    )
+    import optax
+
+    opt_state = tx.init(model_params)
+    from rlobjectdetection_tpu.engine.train import TrainState
+
+    state = TrainState(model_params, opt_state, jnp.int32(0))
+    step = make_train_step(model, tx)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state2, metrics = step(state, jb, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    for k in ("rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box"):
+        assert np.isfinite(float(metrics[k])), k
+    # trainable params changed, frozen did not
+    def changed(a, b):
+        return any(
+            np.abs(np.asarray(x) - np.asarray(y)).max() > 0
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert changed(state.params["RCNN_cls_score"], state2.params["RCNN_cls_score"])
+    # conv1 is frozen (fixed block)
+    assert not changed(state.params["base"]["conv1"], state2.params["base"]["conv1"])
+
+
+def test_postprocess_detections_shapes():
+    rng = np.random.RandomState(0)
+    r, c, m = 32, 4, 10
+    rois = np.zeros((r, 5), dtype=np.float32)
+    rois[:, 1:3] = rng.rand(r, 2) * 100
+    rois[:, 3:5] = rois[:, 1:3] + rng.rand(r, 2) * 60 + 5
+    cls_prob = jax.nn.softmax(jnp.asarray(rng.randn(r, c).astype(np.float32)))
+    bbox_pred = rng.randn(r, 4 * c).astype(np.float32) * 0.1
+    im_info = jnp.asarray([200.0, 200.0, 2.0])
+    valid = jnp.ones((r,), dtype=bool)
+    boxes, scores, classes, v = postprocess_detections(
+        jnp.asarray(rois), cls_prob, jnp.asarray(bbox_pred), im_info, valid,
+        num_classes=c, max_per_image=m,
+    )
+    assert boxes.shape == (m, 4)
+    assert scores.shape == (m,)
+    cl = np.asarray(classes)[np.asarray(v)]
+    assert ((cl >= 1) & (cl < c)).all()
+    # detections are in original-image coords (≤ 200/2=100... boxes clipped to
+    # scaled image then divided by scale)
+    assert np.asarray(boxes)[np.asarray(v)].max() <= 100.0

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Demo: detect objects in an image folder, draw boxes, write *_det.jpg.
+
+Rebuild of /root/reference/RCNN_bases/demo.py: loads a checkpoint (20-class
+VOC by default), runs single-scale (600) detection over images in --image_dir,
+applies per-class NMS at 0.3 with vis threshold 0.5, draws rectangles
+(net_utils.vis_detections equivalent) and writes <name>_det.jpg.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+VOC_CLASSES = (
+    "__background__", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Faster R-CNN demo")
+    p.add_argument("--net", default="vgg16")
+    p.add_argument("--image_dir", default="images")
+    p.add_argument("--load_name", default=None, help="checkpoint dir")
+    p.add_argument("--cag", dest="class_agnostic", action="store_true")
+    p.add_argument("--vis_thresh", default=0.5, type=float)
+    return p.parse_args()
+
+
+def vis_detections(im, class_name, dets, thresh=0.8):
+    """cv2 overlay (net_utils.py:52-62)."""
+    import cv2
+
+    for i in range(np.minimum(10, dets.shape[0])):
+        bbox = tuple(int(np.round(x)) for x in dets[i, :4])
+        score = dets[i, -1]
+        if score > thresh:
+            cv2.rectangle(im, bbox[0:2], bbox[2:4], (0, 204, 0), 2)
+            cv2.putText(
+                im, f"{class_name}: {score:.3f}", (bbox[0], bbox[1] + 15),
+                cv2.FONT_HERSHEY_PLAIN, 1.0, (0, 0, 255), thickness=1,
+            )
+    return im
+
+
+def main():
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.config import Config
+    from rlobjectdetection_tpu.data.minibatch import PIXEL_MEANS_BGR, pad_shape, prep_im_for_blob
+    from rlobjectdetection_tpu.engine import postprocess_detections
+    from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint
+    from rlobjectdetection_tpu.models import FasterRCNN
+
+    args = parse_args()
+    cfg = Config()
+    backbone = {"vgg16": "vgg16", "res101": "resnet101"}.get(args.net, args.net)
+    model = FasterRCNN(
+        num_classes=len(VOC_CLASSES), backbone=backbone,
+        class_agnostic=args.class_agnostic, cfg=cfg,
+    )
+
+    if args.load_name:
+        tree, meta = load_checkpoint(args.load_name)
+        params = tree["params"]
+    else:
+        print("WARNING: no --load_name; using random weights (smoke mode)")
+        key = jax.random.PRNGKey(3)
+        dummy = jnp.zeros((1, 608, 608, 3), jnp.float32)
+        params = jax.jit(model.init, static_argnames="train")(
+            {"params": key, "sampling": key, "dropout": key},
+            dummy, jnp.asarray([[608.0, 608.0, 1.0]]), train=False,
+        )["params"]
+
+    forward = jax.jit(model.apply, static_argnames="train")
+
+    imglist = [
+        f for f in os.listdir(args.image_dir)
+        if f.lower().endswith((".jpg", ".png", ".jpeg")) and "_det" not in f
+    ]
+    print(f"Loaded Photo: {len(imglist)} images.")
+    for name in imglist:
+        path = os.path.join(args.image_dir, name)
+        im_bgr = cv2.imread(path).astype(np.float32)
+        im, im_scale = prep_im_for_blob(im_bgr, PIXEL_MEANS_BGR, cfg.TEST.SCALES[0])
+        ph, pw = pad_shape(im.shape[0], im.shape[1])
+        blob = np.zeros((1, ph, pw, 3), dtype=np.float32)
+        blob[0, : im.shape[0], : im.shape[1]] = im
+        im_info = np.array([[im.shape[0], im.shape[1], im_scale]], dtype=np.float32)
+
+        t0 = time.time()
+        out = forward({"params": params}, jnp.asarray(blob), jnp.asarray(im_info),
+                      train=False)
+        boxes, scores, classes, valid = postprocess_detections(
+            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
+            jnp.asarray(im_info[0]), out["roi_valid"][0],
+            num_classes=len(VOC_CLASSES),
+            class_agnostic=args.class_agnostic,
+            max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
+            nms_thresh=cfg.TEST.NMS,
+        )
+        jax.block_until_ready(boxes)
+        print(f"{name}: detect {time.time() - t0:.3f}s")
+
+        im2show = cv2.imread(path)
+        boxes_np = np.asarray(boxes)
+        scores_np = np.asarray(scores)
+        classes_np = np.asarray(classes)
+        valid_np = np.asarray(valid)
+        for j in range(1, len(VOC_CLASSES)):
+            sel = valid_np & (classes_np == j)
+            if sel.any():
+                dets = np.concatenate(
+                    [boxes_np[sel], scores_np[sel, None]], axis=1
+                )
+                im2show = vis_detections(im2show, VOC_CLASSES[j], dets,
+                                         args.vis_thresh)
+        out_path = os.path.join(
+            args.image_dir, os.path.splitext(name)[0] + "_det.jpg"
+        )
+        cv2.imwrite(out_path, im2show)
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Detector evaluation CLI.
+
+Rebuild of /root/reference/RCNN_bases/test_net.py: load checkpoint (restoring
+POOLING_MODE from it, l.169-172), run the detector over the test set, decode +
+per-class NMS + 100-det/image cap (on device — engine/detect.py), pickle
+`all_boxes` ("detections.pkl", l.324) and run `imdb.evaluate_detections`.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a TPU-native Faster R-CNN")
+    p.add_argument("--dataset", default="pascal_voc")
+    p.add_argument("--net", default="res101")
+    p.add_argument("--cfg", dest="cfg_file", default=None)
+    p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    p.add_argument("--load_dir", default="models")
+    p.add_argument("--ls", dest="large_scale", action="store_true")
+    p.add_argument("--cag", dest="class_agnostic", action="store_true")
+    p.add_argument("--s", dest="session", default=1, type=int)
+    p.add_argument("--checkepoch", default=1, type=int)
+    p.add_argument("--vis", action="store_true")
+    return p.parse_args()
+
+
+DATASET_MAP = {
+    "pascal_voc": "voc_2007_test",
+    "pascal_voc_0712": "voc_2007_test",
+    "coco": "coco_2014_minival",
+    "imagenet": "imagenet_val",
+    "vg": "vg_1600-400-20_val",
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.config import (
+        Config, DATASET_OVERRIDES, LS_OVERRIDES, cfg_from_file, cfg_from_list, cfg_update,
+    )
+    from rlobjectdetection_tpu.data import RoiBatchLoader, combined_roidb
+    from rlobjectdetection_tpu.engine import detections_to_all_boxes, postprocess_detections
+    from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint
+    from rlobjectdetection_tpu.models import FasterRCNN
+
+    args = parse_args()
+    cfg = Config()
+    if args.dataset in DATASET_OVERRIDES:
+        cfg = cfg_update(cfg, DATASET_OVERRIDES[args.dataset])
+    if args.large_scale:
+        cfg = cfg_update(cfg, LS_OVERRIDES)
+    if args.cfg_file:
+        cfg = cfg_from_file(cfg, args.cfg_file)
+    if args.set_cfgs:
+        cfg = cfg_from_list(cfg, args.set_cfgs)
+    np.random.seed(cfg.RNG_SEED)
+
+    imdb_name = DATASET_MAP.get(args.dataset, args.dataset)
+    imdb_obj, roidb, ratio_list, ratio_index = combined_roidb(
+        imdb_name, training=False, use_flipped=False
+    )
+    num_images = len(roidb)
+    print(f"{num_images} images for evaluation")
+
+    backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
+                "res152": "resnet152"}.get(args.net, args.net)
+    ckpt = os.path.join(
+        args.load_dir, args.net, args.dataset,
+        f"faster_rcnn_{args.session}_{args.checkepoch}",
+    )
+
+    # peek checkpoint meta to restore POOLING_MODE (test_net.py:171-172)
+    tree, meta = load_checkpoint(ckpt)
+    if meta and meta.get("pooling_mode"):
+        cfg = cfg_update(cfg, {"POOLING_MODE": meta["pooling_mode"]})
+    model = FasterRCNN(
+        num_classes=imdb_obj.num_classes, backbone=backbone,
+        class_agnostic=args.class_agnostic, cfg=cfg,
+    )
+    params = tree["params"]
+
+    loader = RoiBatchLoader(
+        roidb, ratio_list, ratio_index, 1, scales=cfg.TEST.SCALES,
+        max_num_gt=cfg.MAX_NUM_GT_BOXES, training=False,
+    )
+
+    forward = jax.jit(model.apply, static_argnames="train")
+
+    dets = []
+    t_det = t_misc = 0.0
+    for i, batch in enumerate(loader):
+        t0 = time.time()
+        out = forward(
+            {"params": params}, jnp.asarray(batch["data"]),
+            jnp.asarray(batch["im_info"]), train=False,
+        )
+        boxes, scores, classes, valid = postprocess_detections(
+            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
+            jnp.asarray(batch["im_info"][0]), out["roi_valid"][0],
+            num_classes=imdb_obj.num_classes,
+            class_agnostic=args.class_agnostic,
+            max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
+            nms_thresh=cfg.TEST.NMS,
+            bbox_reg=cfg.TEST.BBOX_REG,
+            normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS,
+            normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+        )
+        jax.block_until_ready(boxes)
+        t_det += time.time() - t0
+        dets.append((boxes, scores, classes, valid))
+        if i % 100 == 0:
+            print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")
+
+    all_boxes = detections_to_all_boxes(dets, imdb_obj.num_classes)
+    output_dir = os.path.join("output", args.net, imdb_name)
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "detections.pkl"), "wb") as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+
+    print("Evaluating detections")
+    imdb_obj.evaluate_detections(all_boxes, output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Base detector trainer CLI.
+
+Rebuild of /root/reference/RCNN_bases/trainval_net.py: same flags (--dataset,
+--net, --bs, --lr, --epochs, --lr_decay_step, --r resume, --use_tfb, --ls,
+--cag, --mGPUs → here any-number-of-chips data parallel by default), dataset
+selection with per-dataset anchor overrides (l.160-181), yaml cfg + --set
+overrides (l.183-188), aspect-grouped batching, per-epoch checkpointing.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a TPU-native Faster R-CNN")
+    p.add_argument("--dataset", default="pascal_voc")
+    p.add_argument("--net", default="res101", choices=["vgg16", "res50", "res101", "res152"])
+    p.add_argument("--start_epoch", default=1, type=int)
+    p.add_argument("--epochs", default=20, type=int)
+    p.add_argument("--disp_interval", default=100, type=int)
+    p.add_argument("--save_dir", default="models")
+    p.add_argument("--bs", dest="batch_size", default=1, type=int)
+    p.add_argument("--ls", dest="large_scale", action="store_true")
+    p.add_argument("--cag", dest="class_agnostic", action="store_true")
+    p.add_argument("--o", dest="optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--lr", default=0.001, type=float)
+    p.add_argument("--lr_decay_step", default=5, type=int)
+    p.add_argument("--lr_decay_gamma", default=0.1, type=float)
+    p.add_argument("--s", dest="session", default=1, type=int)
+    p.add_argument("--r", dest="resume", action="store_true")
+    p.add_argument("--checkepoch", default=1, type=int)
+    p.add_argument("--use_tfb", action="store_true")
+    p.add_argument("--cfg", dest="cfg_file", default=None)
+    p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    p.add_argument("--pretrained", default=None, help="converted backbone checkpoint dir")
+    p.add_argument("--pooling_mode", default=None)
+    return p.parse_args()
+
+
+DATASET_MAP = {
+    "pascal_voc": ("voc_2007_trainval", "voc_2007_test"),
+    "pascal_voc_0712": ("voc_2007_trainval+voc_2012_trainval", "voc_2007_test"),
+    "coco": ("coco_2014_train+coco_2014_valminusminival", "coco_2014_minival"),
+    "imagenet": ("imagenet_train", "imagenet_val"),
+    "vg": ("vg_1600-400-20_train", "vg_1600-400-20_val"),
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.config import (
+        Config, DATASET_OVERRIDES, LS_OVERRIDES, cfg_from_file, cfg_from_list, cfg_update,
+    )
+    from rlobjectdetection_tpu.data import RoiBatchLoader, combined_roidb
+    from rlobjectdetection_tpu.engine import (
+        build_optimizer, create_train_state, make_lr_schedule, make_train_step,
+    )
+    from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from rlobjectdetection_tpu.models import FasterRCNN
+    from rlobjectdetection_tpu.parallel import make_mesh, replicate, shard_batch
+    from rlobjectdetection_tpu.utils import AveMeter, MetricsWriter, init_log
+
+    args = parse_args()
+    log = init_log("train")
+
+    cfg = Config()
+    if args.dataset in DATASET_OVERRIDES:
+        cfg = cfg_update(cfg, DATASET_OVERRIDES[args.dataset])
+    if args.large_scale:
+        cfg = cfg_update(cfg, LS_OVERRIDES)
+    if args.cfg_file:
+        cfg = cfg_from_file(cfg, args.cfg_file)
+    if args.set_cfgs:
+        cfg = cfg_from_list(cfg, args.set_cfgs)
+    if args.pooling_mode:
+        cfg = cfg_update(cfg, {"POOLING_MODE": args.pooling_mode})
+    np.random.seed(cfg.RNG_SEED)
+
+    imdb_name, _ = DATASET_MAP.get(args.dataset, (args.dataset, None))
+    imdb_obj, roidb, ratio_list, ratio_index = combined_roidb(
+        imdb_name, training=True, use_flipped=cfg.TRAIN.USE_FLIPPED
+    )
+    log.info(f"{len(roidb)} roidb entries")
+
+    loader = RoiBatchLoader(
+        roidb, ratio_list, ratio_index, args.batch_size,
+        scales=cfg.TRAIN.SCALES, max_num_gt=cfg.MAX_NUM_GT_BOXES,
+        seed=cfg.RNG_SEED,
+    )
+    iters_per_epoch = len(loader)
+
+    backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
+                "res152": "resnet152"}[args.net]
+    model = FasterRCNN(
+        num_classes=imdb_obj.num_classes, backbone=backbone,
+        class_agnostic=args.class_agnostic, cfg=cfg,
+    )
+
+    sample = next(iter(loader))
+    sched = make_lr_schedule(args.lr, args.lr_decay_step * iters_per_epoch,
+                             args.lr_decay_gamma)
+    clip = 10.0 if backbone == "vgg16" else None  # trainval_net.py:331-332
+    init_params = None
+    tx = None
+
+    mesh = make_mesh()
+    with mesh:
+        key = jax.random.PRNGKey(cfg.RNG_SEED)
+        variables = jax.jit(model.init, static_argnames="train")(
+            {"params": key, "sampling": key, "dropout": key},
+            jnp.asarray(sample["data"]), jnp.asarray(sample["im_info"]),
+            jnp.asarray(sample["gt_boxes"]), jnp.asarray(sample["num_boxes"]),
+            train=True,
+        )
+        params = variables["params"]
+        if args.pretrained:
+            from rlobjectdetection_tpu.engine.checkpoint import load_params
+            from tools.convert_torch_weights import merge_pretrained
+
+            params = merge_pretrained(params, load_params(args.pretrained))
+        tx, labels = build_optimizer(
+            params, backbone, args.lr,
+            weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+            momentum=cfg.TRAIN.MOMENTUM,
+            double_bias=cfg.TRAIN.DOUBLE_BIAS,
+            bias_decay=cfg.TRAIN.BIAS_DECAY,
+            fixed_blocks=cfg.RESNET.FIXED_BLOCKS,
+            lr_schedule=sched,
+            clip_norm=clip,
+        )
+        from rlobjectdetection_tpu.engine.train import TrainState
+
+        state = TrainState(params, tx.init(params), jnp.int32(0))
+
+        ckpt_dir = os.path.join(args.save_dir, args.net, args.dataset)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if args.resume:
+            ckpt = os.path.join(
+                ckpt_dir, f"faster_rcnn_{args.session}_{args.checkepoch}"
+            )
+            state, meta = load_checkpoint(ckpt, state)
+            args.start_epoch = int(meta.get("epoch", args.checkepoch)) + 1
+            log.info(f"resumed from {ckpt}")
+
+        state = state._replace(
+            params=replicate(mesh, state.params),
+            opt_state=replicate(mesh, state.opt_state),
+        )
+        step_fn = make_train_step(model, tx)
+        writer = MetricsWriter("logs") if args.use_tfb else None
+
+        step_key = jax.random.PRNGKey(cfg.RNG_SEED + 1)
+        meters = {k: AveMeter() for k in
+                  ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box")}
+        global_step = int(state.step)
+        for epoch in range(args.start_epoch, args.epochs + 1):
+            start = time.time()
+            for it, batch in enumerate(loader):
+                sharded = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+                state, metrics = step_fn(
+                    state, sharded, jax.random.fold_in(step_key, global_step)
+                )
+                global_step += 1
+                if it % args.disp_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    for k in meters:
+                        meters[k].update(m[k])
+                    lr_now = sched(global_step)
+                    log.info(
+                        f"[session {args.session}][epoch {epoch:2d}][iter {it:4d}/{iters_per_epoch}] "
+                        f"loss: {meters['loss'].avg:.4f}, lr: {lr_now:.2e} "
+                        f"fg/bg=({m['fg_cnt']:.0f}/{m['bg_cnt']:.0f}) "
+                        f"rpn_cls {m['rpn_cls']:.4f} rpn_box {m['rpn_box']:.4f} "
+                        f"rcnn_cls {m['rcnn_cls']:.4f} rcnn_box {m['rcnn_box']:.4f}"
+                    )
+                    if writer:
+                        for k, v in m.items():
+                            writer.scalar_summary(k, v, global_step)
+            ckpt = os.path.join(ckpt_dir, f"faster_rcnn_{args.session}_{epoch}")
+            save_checkpoint(
+                ckpt, state, session=args.session, epoch=epoch,
+                pooling_mode=cfg.POOLING_MODE, class_agnostic=args.class_agnostic,
+            )
+            log.info(f"save model: {ckpt} (epoch time {time.time() - start:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

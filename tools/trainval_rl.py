@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""RL refinement trainer/evaluator CLI.
+
+Rebuild of /root/reference/trainval_net.py (root): train the 56-action
+action-value ResNet-101 on ΔIoU labels over base-detector detections
+(`Train`, l.265); evaluate by predicting actions, moving boxes, re-scoring with
+COCO eval (`Evaluate`, l.175 — repaired per SURVEY.md §2.7: the committed
+reference eval crashes on missing imports/undefined names).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("RL bbox-refinement training")
+    p.add_argument("-e", "--evaluate", action="store_true")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--batch_size", default=2, type=int)
+    p.add_argument("--epochs", default=None, type=int)
+    p.add_argument("--maxk", default=1, type=int)
+    p.add_argument("--pretrained", default=None,
+                   help="detector checkpoint dir to warm-start the trunk")
+    p.add_argument("--ann_file", default=None)
+    p.add_argument("--dt_file", default=None)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--save_dir", default=None)
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rlobjectdetection_tpu.config import RLConfig
+    from rlobjectdetection_tpu.data.rl_coco import COCODataLoader, COCODataset, COCOTransform
+    from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from rlobjectdetection_tpu.models.rl import Action, RLPolicyNet, warm_start_from_detector
+    from rlobjectdetection_tpu.utils import AveMeter, init_log
+
+    args = parse_args()
+    log = init_log("rl")
+    phase = "test" if args.evaluate else "train"
+    cfg = RLConfig(phase=phase)
+    if args.ann_file:
+        object.__setattr__(cfg, f"{phase}_ann_file", args.ann_file)
+    if args.dt_file:
+        object.__setattr__(cfg, f"{phase}_dt_file", args.dt_file)
+    if args.data_dir:
+        object.__setattr__(cfg, f"{phase}_data_dir", args.data_dir)
+    save_dir = args.save_dir or cfg.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+
+    action = Action(list(cfg.act_delta), alpha=1.0, iou_thres=cfg.act_iou_thres,
+                    wtrans=cfg.act_wtrans)
+    log.info(f"{action.num_acts} actions")
+
+    transform = COCOTransform(
+        list(cfg.train_img_short if phase == "train" else cfg.test_img_short),
+        cfg.train_img_size if phase == "train" else cfg.test_img_size,
+        flip=cfg.train_flip if phase == "train" else cfg.test_flip,
+    )
+    dataset = COCODataset(
+        cfg.data_dir, cfg.ann_file, cfg.dt_file, action,
+        transform_fn=transform,
+        normalize_mean=cfg.normalize_mean, normalize_std=cfg.normalize_std,
+    )
+    loader = COCODataLoader(dataset, args.batch_size, shuffle=(phase == "train"))
+    log.info(f"dataset: {len(dataset)} images")
+
+    model = RLPolicyNet(num_acts=action.num_acts, num_layers=101)
+
+    sample = next(iter(loader))
+    key = jax.random.PRNGKey(3)
+    params = jax.jit(model.init)(
+        {"params": key},
+        jnp.asarray(sample["data"]), jnp.asarray(sample["bboxes"]),
+        jnp.asarray(sample["labels"][..., 1]), jnp.asarray(sample["labels"][..., 2]),
+    )["params"]
+
+    if args.pretrained:
+        det_tree, _ = load_checkpoint(args.pretrained)
+        params = warm_start_from_detector(params, det_tree["params"])
+        log.info(f"warm-started trunk from {args.pretrained}")
+
+    # freeze conv1..layer3 (Reinforcement/resnet.py:139-147); bias lr ×2 param
+    # groups + SGD (trainval_net.py:102-114)
+    def label_fn(params):
+        import jax as _jax
+
+        def lab(path, _):
+            keys = tuple(p.key for p in path)
+            if keys[0] == "base":
+                return "frozen"
+            if any(k.startswith("bn") or k.endswith("_bn") for k in keys):
+                return "frozen"
+            if keys[-1] in ("mean", "var"):
+                return "frozen"
+            return "bias" if keys[-1] == "bias" else "weight"
+
+        return _jax.tree_util.tree_map_with_path(lab, params)
+
+    def lr_sched(count):
+        # multi-step decay at epochs in train_lr_decay (utils.adjust_learning_rate)
+        steps_per_epoch = max(len(loader), 1)
+        epoch = count // steps_per_epoch
+        mult = 1.0
+        for e in cfg.train_lr_decay:
+            mult = jnp.where(epoch >= e, mult * 0.1, mult)
+        return cfg.learning_rate * mult
+
+    def sgd(lr_mult, wd):
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.trace(decay=cfg.momentum),
+            optax.scale_by_schedule(lambda c: -lr_sched(c) * lr_mult),
+        )
+
+    tx = optax.multi_transform(
+        {"weight": sgd(1.0, cfg.weight_decay), "bias": sgd(2.0, 0.0),
+         "frozen": optax.set_to_zero()},
+        label_fn(params),
+    )
+    opt_state = tx.init(params)
+
+    start_epoch = 0
+    if args.resume:
+        from rlobjectdetection_tpu.engine.train import TrainState
+
+        state = TrainState(params, opt_state, jnp.int32(0))
+        state, meta = load_checkpoint(args.resume, state)
+        params, opt_state = state.params, state.opt_state
+        start_epoch = int(meta.get("epoch", 0))
+        log.info(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    @jax.jit
+    def train_step(params, opt_state, data, bboxes, targets, weights):
+        def loss_fn(p):
+            _, loss, noweight = model.apply(
+                {"params": p}, data, bboxes, targets, weights
+            )
+            return loss, noweight
+
+        (loss, noweight), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss, noweight
+
+    @jax.jit
+    def eval_step(params, data, bboxes):
+        pred, _, _ = model.apply({"params": params}, data, bboxes)
+        return pred
+
+    if args.evaluate:
+        evaluate(args, cfg, dataset, loader, eval_step, params, action, log)
+        return
+
+    max_epoch = args.epochs or cfg.train_max_epoch
+    from rlobjectdetection_tpu.engine.train import TrainState
+
+    for epoch in range(start_epoch, max_epoch):
+        batch_time, data_time, losses = AveMeter(), AveMeter(), AveMeter()
+        end = time.time()
+        for it, batch in enumerate(loader):
+            data_time.update(time.time() - end)
+            mask = (np.arange(batch["bboxes"].shape[1])[None, :]
+                    < batch["num_dts"][:, None])
+            weights = batch["labels"][..., 2] * mask[..., None]
+            params, opt_state, loss, noweight = train_step(
+                params, opt_state,
+                jnp.asarray(batch["data"]), jnp.asarray(batch["bboxes"]),
+                jnp.asarray(batch["labels"][..., 1]), jnp.asarray(weights),
+            )
+            losses.update(float(loss))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if it % 10 == 0:
+                log.info(
+                    f"[{epoch}][{it}/{len(loader)}] loss {losses.avg:.4f} "
+                    f"(noweight {float(noweight):.4f}) "
+                    f"batch {batch_time.avg:.3f}s data {data_time.avg:.3f}s"
+                )
+        state = TrainState(params, opt_state, jnp.int32((epoch + 1) * len(loader)))
+        ckpt = os.path.join(save_dir, f"rl_epoch_{epoch + 1}")
+        save_checkpoint(ckpt, state, epoch=epoch + 1)
+        log.info(f"saved {ckpt}")
+
+
+def evaluate(args, cfg, dataset, loader, eval_step, params, action, log):
+    """Predict actions, teacher-force the top-k moves, dump COCO json, rescore
+    (trainval_net.py:175-263, repaired)."""
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.data.coco_eval import cocoval
+
+    all_results = []
+    prec_sum, prec_cnt = 0.0, 0
+    for batch in loader:
+        pred = np.asarray(
+            eval_step(params, jnp.asarray(batch["data"]), jnp.asarray(batch["bboxes"]))
+        ).reshape(batch["bboxes"].shape[0], batch["bboxes"].shape[1], -1)
+        bboxes = batch["bboxes"]
+        targets = batch["labels"][..., 1]
+        for i in range(bboxes.shape[0]):
+            n = int(batch["num_dts"][i])
+            if n == 0:
+                continue
+            xyxy = bboxes[i, :n, 1:5].copy()
+            scale = float(batch["im_info"][i][2])
+            xywh = np.stack(
+                [xyxy[:, 0], xyxy[:, 1], xyxy[:, 2] - xyxy[:, 0], xyxy[:, 3] - xyxy[:, 1]],
+                axis=1,
+            )[None]
+            moved, prec = action.move_from_act(
+                xywh, pred[i : i + 1, :n], targets[i : i + 1, :n], args.maxk
+            )
+            prec_sum += prec
+            prec_cnt += 1
+            moved = moved[0] / scale
+            for k in range(n):
+                all_results.append(
+                    {
+                        "image_id": int(bboxes[i, k, 7]),
+                        "category_id": int(bboxes[i, k, 6]),
+                        "bbox": [float(x) for x in moved[k]],
+                        "score": float(bboxes[i, k, 5]),
+                    }
+                )
+    log.info(f"Preck precision@{args.maxk}: {prec_sum / max(prec_cnt, 1):.2f}%")
+    res_file = os.path.join(args.save_dir or cfg.save_dir, "rl_results.json")
+    with open(res_file, "w") as f:
+        json.dump(all_results, f)
+    log.info(f"wrote {res_file}; running COCO eval")
+    cocoval(cfg.ann_file, res_file)
+
+
+if __name__ == "__main__":
+    main()
