@@ -154,7 +154,7 @@ class pascal_voc(imdb):
             with open(filename, "wt") as f:
                 for im_ind, index in enumerate(self.image_index):
                     dets = all_boxes[cls_ind][im_ind]
-                    if dets == [] or len(dets) == 0:
+                    if len(dets) == 0:
                         continue
                     for k in range(dets.shape[0]):
                         # VOCdevkit expects 1-based indices (pascal_voc.py:283-288)

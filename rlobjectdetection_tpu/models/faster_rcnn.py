@@ -55,9 +55,16 @@ class FasterRCNN(nn.Module):
         else:
             raise ValueError(f"unknown backbone {self.backbone}")
         self.rpn = RPNHead(num_anchors=num_anchors, dtype=dtype)
-        self.cls_score = nn.Dense(self.num_classes, dtype=dtype, name="RCNN_cls_score")
+        # normal(0, 0.01) / normal(0, 0.001) head init (faster_rcnn.py:130-131)
+        self.cls_score = nn.Dense(
+            self.num_classes, dtype=dtype,
+            kernel_init=nn.initializers.normal(stddev=0.01), name="RCNN_cls_score",
+        )
         out_box = 4 if self.class_agnostic else 4 * self.num_classes
-        self.bbox_pred = nn.Dense(out_box, dtype=dtype, name="RCNN_bbox_pred")
+        self.bbox_pred = nn.Dense(
+            out_box, dtype=dtype,
+            kernel_init=nn.initializers.normal(stddev=0.001), name="RCNN_bbox_pred",
+        )
 
     def extract_roi_features(self, base_feat, rois_flat):
         """Pooling-mode dispatch (faster_rcnn.py:72-83). rois_flat: [B*R, 5]."""

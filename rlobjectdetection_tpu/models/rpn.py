@@ -37,13 +37,15 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, base_feat):
+        # normal(0, 0.01) init matches _init_weights (faster_rcnn.py:116-129)
+        init = nn.initializers.normal(stddev=0.01)
         x = nn.Conv(512, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                    name="RPN_Conv")(base_feat)
+                    kernel_init=init, name="RPN_Conv")(base_feat)
         x = nn.relu(x)
         cls_score = nn.Conv(2 * self.num_anchors, (1, 1), dtype=self.dtype,
-                            name="RPN_cls_score")(x)
+                            kernel_init=init, name="RPN_cls_score")(x)
         bbox_pred = nn.Conv(4 * self.num_anchors, (1, 1), dtype=self.dtype,
-                            name="RPN_bbox_pred")(x)
+                            kernel_init=init, name="RPN_bbox_pred")(x)
         return cls_score, bbox_pred
 
 

@@ -7,10 +7,16 @@ in CI on any machine.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax
+
+# force CPU even when the session env preselects the TPU platform
+# (JAX_PLATFORMS=axon survives a plain env override, so set the config directly)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,161 @@
+"""Data pipeline tests over synthetic on-disk fixtures (tiny VOC + COCO)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rlobjectdetection_tpu.data.coco_api import COCO, iou_xywh
+from rlobjectdetection_tpu.data.coco_eval import COCOeval
+from rlobjectdetection_tpu.data.imdb import (
+    filter_roidb,
+    prepare_roidb,
+    rank_roidb_ratio,
+)
+from rlobjectdetection_tpu.data.loader import RoiBatchLoader, compute_batch_ratios
+from rlobjectdetection_tpu.data.synthetic import make_coco_dataset, make_voc_devkit
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_voc_devkit(str(root), num_images=6)
+    make_coco_dataset(str(root), num_images=6)
+    os.environ["RLOD_DATA_DIR"] = str(root)
+    yield str(root)
+    os.environ.pop("RLOD_DATA_DIR", None)
+
+
+def _voc_imdb(data_root):
+    from rlobjectdetection_tpu.data.pascal_voc import pascal_voc
+
+    db = pascal_voc("trainval", "2007")
+    # synthetic classes differ from VOC20 — remap
+    db._classes = ["__background__", "widget", "gadget", "gizmo"]
+    db._class_to_ind = {c: i for i, c in enumerate(db._classes)}
+    return db
+
+
+def test_voc_roidb(data_root):
+    db = _voc_imdb(data_root)
+    roidb = db.gt_roidb()
+    assert len(roidb) == 6
+    e = roidb[0]
+    assert e["boxes"].shape[1] == 4
+    assert (e["gt_classes"] >= 1).all()
+    assert e["width"] == 320 and e["height"] == 240
+    # boxes are 0-based and inside the image
+    assert e["boxes"][:, 2].max() < 320
+    assert e["boxes"][:, 3].max() < 240
+
+
+def test_voc_flip_and_ratio(data_root):
+    db = _voc_imdb(data_root)
+    n = db.num_images
+    db.append_flipped_images()
+    assert len(db.roidb) == 2 * n
+    orig, flip = db.roidb[0], db.roidb[n]
+    w = orig["width"]
+    np.testing.assert_array_equal(flip["boxes"][:, 0], w - orig["boxes"][:, 2] - 1)
+    prepare_roidb(db)
+    roidb = filter_roidb(db.roidb)
+    ratio_list, ratio_index = rank_roidb_ratio(roidb)
+    assert (np.diff(ratio_list) >= 0).all()
+
+
+def test_loader_shapes(data_root):
+    db = _voc_imdb(data_root)
+    prepare_roidb(db)
+    roidb = filter_roidb(db.roidb)
+    ratio_list, ratio_index = rank_roidb_ratio(roidb)
+    loader = RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size=2,
+                            scales=(120,), max_num_gt=20)
+    batch = next(iter(loader))
+    assert batch["data"].ndim == 4 and batch["data"].shape[3] == 3
+    assert batch["data"].shape[1] % 32 == 0 and batch["data"].shape[2] % 32 == 0
+    assert batch["gt_boxes"].shape == (2, 20, 5)
+    assert (batch["num_boxes"] >= 1).all()
+    # gt boxes lie within the scaled image
+    for i in range(2):
+        g = batch["gt_boxes"][i][: batch["num_boxes"][i]]
+        assert (g[:, 2] <= batch["im_info"][i, 1]).all()
+        assert (g[:, 3] <= batch["im_info"][i, 0]).all()
+
+
+def test_batch_ratio_assignment():
+    ratios = np.array([0.5, 0.6, 0.8, 1.2, 1.5, 2.0])
+    # all-tall block → leftmost ratio; straddling block → 1.0; all-wide → rightmost
+    # (roibatchLoader.py:44-53)
+    out = compute_batch_ratios(ratios, 2)
+    np.testing.assert_allclose(out, [0.5, 0.5, 1.0, 1.0, 2.0, 2.0])
+    out3 = compute_batch_ratios(ratios, 3)
+    np.testing.assert_allclose(out3, [0.5] * 3 + [2.0] * 3)
+
+
+def test_coco_api_and_eval_perfect_detections(data_root):
+    ann_file = os.path.join(data_root, "coco", "annotations", "instances_minival2014.json")
+    gt = COCO(ann_file, quiet=True)
+    assert len(gt.getImgIds()) == 6
+    # perfect detections = gt boxes as results → AP must be 1.0
+    results = []
+    for ann in gt.dataset["annotations"]:
+        results.append(
+            {
+                "image_id": ann["image_id"],
+                "category_id": ann["category_id"],
+                "bbox": ann["bbox"],
+                "score": 0.9,
+            }
+        )
+    dt = gt.loadRes(results)
+    ev = COCOeval(gt, dt, iouType="bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats[0] > 0.99  # AP@[.5:.95]
+    assert stats[1] > 0.99  # AP@.5
+
+
+def test_coco_eval_shifted_detections(data_root):
+    ann_file = os.path.join(data_root, "coco", "annotations", "instances_minival2014.json")
+    gt = COCO(ann_file, quiet=True)
+    results = []
+    for ann in gt.dataset["annotations"]:
+        b = list(ann["bbox"])
+        b[0] += b[2] * 0.4  # shift by 40% of width → IoU ≈ 0.43 < 0.5
+        results.append(
+            {"image_id": ann["image_id"], "category_id": ann["category_id"],
+             "bbox": b, "score": 0.9}
+        )
+    dt = gt.loadRes(results)
+    ev = COCOeval(gt, dt, iouType="bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats[1] < 0.2  # AP@.5 collapses
+
+
+def test_iou_xywh_crowd():
+    dt = np.array([[0, 0, 10, 10]])
+    gtb = np.array([[0, 0, 20, 20]])
+    plain = iou_xywh(dt, gtb, [0])[0, 0]
+    crowd = iou_xywh(dt, gtb, [1])[0, 0]
+    assert abs(plain - 100.0 / 400.0) < 1e-9
+    assert abs(crowd - 1.0) < 1e-9  # IoF: fully inside the crowd region
+
+
+def test_voc_eval_end_to_end(data_root, tmp_path):
+    """Perfect detections → mAP 1.0 via the full imdb.evaluate_detections path."""
+    db = _voc_imdb(data_root)
+    roidb = db.gt_roidb()
+    num_classes = db.num_classes
+    all_boxes = [[np.empty((0, 5), np.float32) for _ in range(db.num_images)]
+                 for _ in range(num_classes)]
+    for i, e in enumerate(roidb):
+        for b, c in zip(e["boxes"], e["gt_classes"]):
+            det = np.array([[b[0], b[1], b[2], b[3], 0.9]], dtype=np.float32)
+            all_boxes[c][i] = np.concatenate([all_boxes[c][i], det])
+    out = str(tmp_path / "out")
+    mean_ap = db.evaluate_detections(all_boxes, out)
+    assert mean_ap > 0.99

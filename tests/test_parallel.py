@@ -1,0 +1,78 @@
+"""Multi-device data parallelism tests on the 8-fake-device CPU mesh —
+the test the reference never had (SURVEY.md §4: --mGPUs was only ever
+exercised on real 8-GPU boxes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_eight_fake_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_sharded_grads_match_single_device():
+    """DP gradient all-reduce must equal the single-device gradient on the
+    concatenated batch (loss is mean-reduced over the global batch)."""
+    from dataclasses import replace
+
+    from rlobjectdetection_tpu.config import Config, TestConfig, TrainConfig
+    from rlobjectdetection_tpu.models.rl import RLPolicyNet
+    from rlobjectdetection_tpu.parallel import make_mesh, replicate, shard_batch
+
+    # Use the RL net (no sampling RNG → deterministic) for an exact check.
+    model = RLPolicyNet(num_acts=4, num_layers=50)
+    rng = np.random.RandomState(0)
+    b, n = 8, 2
+    img = rng.randn(b, 64, 64, 3).astype(np.float32)
+    bboxes = np.zeros((b, n, 8), dtype=np.float32)
+    bboxes[:, :, 1:5] = [4, 4, 40, 40]
+    for i in range(b):
+        bboxes[i, :, 0] = i
+    targets = rng.choice([-1.0, 1.0], size=(b, n, 4)).astype(np.float32)
+    weights = np.ones((b, n, 4), np.float32)
+
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(img), jnp.asarray(bboxes), jnp.asarray(targets),
+        jnp.asarray(weights),
+    )["params"]
+
+    def loss_fn(p, img, bb, t, w):
+        _, loss, _ = model.apply({"params": p}, img, bb, t, w)
+        return loss
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g_single = grad_fn(params, jnp.asarray(img), jnp.asarray(bboxes),
+                       jnp.asarray(targets), jnp.asarray(weights))
+
+    mesh = make_mesh(8)
+    with mesh:
+        p_rep = replicate(mesh, params)
+        batch = shard_batch(
+            mesh,
+            {"img": img, "bb": bboxes, "t": targets, "w": weights},
+        )
+        # per-device batch idx must be local — but roi_align uses global batch
+        # index b_i = row i; sharded on 8 devices each shard has 1 image with
+        # batch col i ∈ global range. jit+sharding keeps global semantics, so
+        # this is exact.
+        g_sharded = grad_fn(p_rep, batch["img"], batch["bb"], batch["t"], batch["w"])
+
+    # f32 psum reassociates reductions — compare with a tolerance scaled to the
+    # gradient magnitude
+    for a, c in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_sharded)):
+        a = np.asarray(a)
+        c = np.asarray(c)
+        denom = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - c).max() / denom < 2e-2, np.abs(a - c).max()
