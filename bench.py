@@ -56,16 +56,17 @@ def main():
     step = make_train_step(model, tx)
 
     key = jax.random.PRNGKey(7)
-    # warmup / compile
+    # warmup / compile — block on the full state so no async work leaks into
+    # the timed region
     for i in range(3):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready((state.params, metrics))
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready((state.params, metrics))
     dt = time.perf_counter() - t0
 
     img_per_sec = batch_size * iters / dt
