@@ -36,9 +36,10 @@ def param_labels(params, backbone: str, fixed_blocks: int = 1):
             if backbone == "vgg16":
                 if not vgg_param_trainable(sub, fixed_blocks=2):
                     return "frozen"
-            else:
+            elif backbone.startswith("resnet"):
                 if not resnet_param_trainable(sub, fixed_blocks=fixed_blocks):
                     return "frozen"
+            # 'tiny' (test backbone): nothing frozen
         # frozen BN constants anywhere (head layer4 included)
         if any(k.startswith("bn") or k.endswith("_bn") for k in keys):
             return "frozen"

@@ -31,8 +31,33 @@ from .rpn import RPNHead, proposal_layer, rpn_fg_probs
 from .targets import anchor_target, proposal_target
 
 
+class TinyBase(nn.Module):
+    """4-stage stride-16 conv stack (64 ch) — test-only backbone."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x * (1.0 / 128.0)  # tame raw pixel scale (no pretrained stats here)
+        for i in range(4):
+            x = nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                        dtype=self.dtype, name=f"stem{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class TinyHead(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled):
+        x = pooled.mean(axis=(1, 2))
+        x = nn.Dense(256, dtype=self.dtype, name="fc")(x)
+        return nn.relu(x)
+
+
 class FasterRCNN(nn.Module):
-    """backbone ∈ {vgg16, resnet101, resnet50, ...}."""
+    """backbone ∈ {vgg16, resnet101, resnet50, ..., tiny (tests)}."""
 
     num_classes: int
     backbone: str = "resnet101"
@@ -47,6 +72,11 @@ class FasterRCNN(nn.Module):
             self.base = VGGBase(dtype=dtype)
             self.head = VGGHead(dtype=dtype)
             self.dout_base = 512
+        elif self.backbone == "tiny":
+            # small conv backbone for tests/CI — no reference counterpart
+            self.base = TinyBase(dtype=dtype)
+            self.head = TinyHead(dtype=dtype)
+            self.dout_base = 64
         elif self.backbone.startswith("resnet"):
             layers = int(self.backbone[len("resnet"):])
             self.base = ResNetBase(num_layers=layers, dtype=dtype)
