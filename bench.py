@@ -56,17 +56,18 @@ def main():
     step = make_train_step(model, tx)
 
     key = jax.random.PRNGKey(7)
-    # warmup / compile — block on the full state so no async work leaks into
-    # the timed region
+    # warmup / compile. Sync via a device-get of the loss: on the tunneled axon
+    # platform block_until_ready returns early, but a value fetch cannot lie —
+    # the final step's loss transitively requires every prior step's update.
     for i in range(3):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready((state.params, metrics))
+    float(metrics["loss"])
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready((state.params, metrics))
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_per_sec = batch_size * iters / dt

@@ -81,3 +81,32 @@ def save_params(path: str, params):
 def load_params(path: str):
     ocp = _ocp()
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))["params"]
+
+
+def save_net_npz(path: str, params):
+    """Flat-array param dump — the h5 save_net/load_net equivalent
+    (net_utils.py:13-24), using npz instead of hdf5."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {
+        "/".join(p.key for p in kp): np.asarray(v) for kp, v in flat
+    }
+    np.savez(path, **arrays)
+
+
+def load_net_npz(path: str, params):
+    """Restore a flat npz dump into an existing param tree structure."""
+    import jax
+
+    data = np.load(path)
+
+    def rebuild(kp, v):
+        key = "/".join(p.key for p in kp)
+        if key in data.files:
+            arr = data[key]
+            assert arr.shape == v.shape, f"{key}: {arr.shape} vs {v.shape}"
+            return arr.astype(np.asarray(v).dtype)
+        return v
+
+    return jax.tree_util.tree_map_with_path(rebuild, params)

@@ -1,0 +1,64 @@
+"""Multi-host initialization.
+
+The reference's only multi-node traces are an unused DistributedSampler import
+and a SLURM rank filter (SURVEY.md §2.6). The TPU-native story: call
+`initialize()` once per host before any jax op; the global mesh from
+parallel.mesh then spans all hosts' devices (ICI within a slice, DCN across),
+and the SAME jitted train step code runs unchanged — each host feeds its local
+shard of the global batch (`host_local_batch_slice`).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None):
+    """jax.distributed.initialize with SLURM-style env fallbacks."""
+    import jax
+
+    if coordinator_address is None and "SLURM_PROCID" not in os.environ and (
+        num_processes is None
+    ):
+        return  # single-process
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def host_local_batch_slice(global_batch_size: int):
+    """(start, size) of this host's slice of the global batch."""
+    import jax
+
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch_size // n
+    return i * per, per
+
+
+def make_global_array(mesh, local_arrays, axis: str = "data"):
+    """Assemble per-host local shards into one globally-sharded jax.Array."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, local_arrays)
