@@ -114,6 +114,7 @@ class Config:
     # TPU-specific knobs (no reference counterpart)
     DTYPE: str = "bfloat16"          # compute dtype for the backbone/heads
     NMS_TILE: int = 256
+    NMS_IMPL: str = "auto"           # auto | xla | pallas
 
 
 def _to_updates(flat: dict, cls) -> dict:

@@ -141,6 +141,7 @@ class FasterRCNN(nn.Module):
             post_nms_top_n=phase.RPN_POST_NMS_TOP_N,
             nms_thresh=phase.RPN_NMS_THRESH,
             nms_tile=c.NMS_TILE,
+            nms_impl=c.NMS_IMPL,
         )
 
         out = {}

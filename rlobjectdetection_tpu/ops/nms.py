@@ -89,13 +89,30 @@ def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
     return kept[:n]
 
 
+def _use_pallas(impl: str) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    # auto: use the Pallas kernel on real TPU backends
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-        valid: jnp.ndarray | None = None, tile_size: int = 256):
+        valid: jnp.ndarray | None = None, tile_size: int = 256,
+        impl: str = "auto"):
     """Greedy NMS on unsorted boxes.
 
     Returns (order, keep): `order` [N] indices sorting by descending score,
     `keep` [N] bool aligned to that order. Equivalent keep *set* to the
     reference `nms(dets, thresh)` (nms_wrapper.py:11), expressed fixed-shape.
+    `impl` selects the suppression backend: the single-kernel Pallas version
+    (ops/nms_pallas.py) on TPU, the lax.scan version elsewhere.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -104,20 +121,28 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order = jnp.argsort(-skey)
     sboxes = jnp.take(boxes, order, axis=0)
     svalid = jnp.take(valid, order, axis=0)
-    keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size)
+    if _use_pallas(impl):
+        from .nms_pallas import nms_sorted_mask_pallas
+
+        keep = nms_sorted_mask_pallas(sboxes, svalid, iou_threshold,
+                                      tile_size=tile_size)
+    else:
+        keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size)
     return order, keep
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size"))
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size", "impl"))
 def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-               max_out: int, valid: jnp.ndarray | None = None, tile_size: int = 256):
+               max_out: int, valid: jnp.ndarray | None = None, tile_size: int = 256,
+               impl: str = "auto"):
     """NMS then keep the top `max_out` survivors (score order), zero-padded.
 
     Returns (sel_boxes [max_out, 4], sel_scores [max_out], sel_valid [max_out]).
     Matches proposal_layer.py:146-159 semantics: survivors in score order,
     zero padding at the end.
     """
-    order, keep = nms(boxes, scores, iou_threshold, valid=valid, tile_size=tile_size)
+    order, keep = nms(boxes, scores, iou_threshold, valid=valid,
+                      tile_size=tile_size, impl=impl)
     sscores = jnp.take(scores, order)
     masked = jnp.where(keep, sscores, NEG_INF)
     top_scores, top_idx = jax.lax.top_k(masked, max_out)
