@@ -97,10 +97,13 @@ class FasterRCNN(nn.Module):
         )
 
     def extract_roi_features(self, base_feat, rois_flat):
-        """Pooling-mode dispatch (faster_rcnn.py:72-83). rois_flat: [B*R, 5]."""
+        """Pooling-mode dispatch (faster_rcnn.py:72-83). rois_flat: [B*R, 5].
+
+        Features stay in the compute dtype (bf16 halves the gather bandwidth of
+        the hot roi_align path); interpolation weights are f32 and promote.
+        """
         c = self.cfg
         mode = c.POOLING_MODE
-        base_feat = base_feat.astype(jnp.float32)
         if mode == "align":
             pooled = roi_align_avg(base_feat, rois_flat, c.POOLING_SIZE, 1.0 / 16.0)
         elif mode == "pool":

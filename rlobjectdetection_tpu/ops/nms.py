@@ -90,17 +90,11 @@ def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
 
 
 def _use_pallas(impl: str) -> bool:
-    if impl == "pallas":
-        return True
-    if impl == "xla":
-        return False
-    # auto: use the Pallas kernel on real TPU backends
-    try:
-        import jax
-
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    # "auto" currently resolves to the XLA scan implementation: the Pallas
+    # kernel (ops/nms_pallas.py) is numerically exact but its Mosaic compile
+    # time is prohibitive in its current nested-loop form; it stays opt-in
+    # (impl="pallas") until the grid-based variant lands.
+    return impl == "pallas"
 
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
