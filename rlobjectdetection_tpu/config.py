@@ -115,6 +115,7 @@ class Config:
     DTYPE: str = "bfloat16"          # compute dtype for the backbone/heads
     NMS_TILE: int = 256
     NMS_IMPL: str = "auto"           # auto | xla | pallas
+    REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
 
 
 def _to_updates(flat: dict, cls) -> dict:

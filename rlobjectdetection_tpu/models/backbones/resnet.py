@@ -123,22 +123,30 @@ class ResLayer(nn.Module):
 
 
 class ResNetBase(nn.Module):
-    """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239)."""
+    """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239).
+
+    remat=True rematerializes each residual stage in the backward pass
+    (jax.checkpoint) — trades ~25% extra backbone FLOPs for activation memory,
+    enabling larger per-chip batches (the reference fit only 3-4 images on a
+    12 GB GPU, README.md:42).
+    """
 
     num_layers: int = 101
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         specs = LAYER_SPECS[self.num_layers]
+        layer = nn.remat(ResLayer) if self.remat else ResLayer
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = ceil_max_pool(x)
-        x = ResLayer(64, specs[0], 1, self.dtype, name="layer1")(x)
-        x = ResLayer(128, specs[1], 2, self.dtype, name="layer2")(x)
-        x = ResLayer(256, specs[2], 2, self.dtype, name="layer3")(x)
+        x = layer(64, specs[0], 1, self.dtype, name="layer1")(x)
+        x = layer(128, specs[1], 2, self.dtype, name="layer2")(x)
+        x = layer(256, specs[2], 2, self.dtype, name="layer3")(x)
         return x
 
 

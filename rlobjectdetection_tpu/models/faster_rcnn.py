@@ -79,7 +79,7 @@ class FasterRCNN(nn.Module):
             self.dout_base = 64
         elif self.backbone.startswith("resnet"):
             layers = int(self.backbone[len("resnet"):])
-            self.base = ResNetBase(num_layers=layers, dtype=dtype)
+            self.base = ResNetBase(num_layers=layers, dtype=dtype, remat=self.cfg.REMAT)
             self.head = ResNetHead(num_layers=layers, dtype=dtype)
             self.dout_base = 1024
         else:
