@@ -26,51 +26,64 @@ def _ocp():
 def save_checkpoint(path: str, state, *, session: int = 1, epoch: int = 0,
                     pooling_mode: str = "align", class_agnostic: bool = False,
                     extra: dict | None = None):
-    """Save a train state + metadata; path is a directory."""
+    """Save a train state (orbax pytree dir) + sidecar meta.json; path is a
+    directory."""
+    import json
+
     ocp = _ocp()
     path = os.path.abspath(path)
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
-        "meta": {
-            "session": session,
-            "epoch": epoch,
-            "pooling_mode": pooling_mode,
-            "class_agnostic": class_agnostic,
-            **(extra or {}),
-        },
     }
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
+    meta = {
+        "session": session,
+        "epoch": epoch,
+        "pooling_mode": pooling_mode,
+        "class_agnostic": class_agnostic,
+        **(extra or {}),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return path
+
+
+def _load_meta(path: str) -> dict:
+    import json
+
+    mp = os.path.join(path, "meta.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    return {}
 
 
 def load_checkpoint(path: str, state=None):
     """Load a checkpoint; if `state` is given, restores into its structure
-    (shapes/dtypes preserved). Returns (state_or_tree, meta)."""
+    (shapes/dtypes/pytree node types preserved — needed for opt_state tuples).
+    Returns (state_or_tree, meta)."""
     ocp = _ocp()
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
+    meta = _load_meta(path)
     if state is not None:
         template = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
-            "meta": None,
         }
-        try:
-            restored = ckptr.restore(path, item=template)
-        except TypeError:
-            restored = ckptr.restore(path)
+        restored = ckptr.restore(path, item=template)
         new_state = state._replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
         )
-        return new_state, restored.get("meta", {})
+        return new_state, meta
     restored = ckptr.restore(path)
-    return restored, restored.get("meta", {})
+    return restored, meta
 
 
 def save_params(path: str, params):

@@ -1,0 +1,123 @@
+"""Engine tests: optimizer param groups, LR schedule, checkpoint roundtrip,
+npz dump, weight conversion merge."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from rlobjectdetection_tpu.engine.optim import build_optimizer, count_trainable, make_lr_schedule, param_labels
+
+
+def _fake_resnet_params():
+    k = lambda *s: jnp.ones(s, jnp.float32)
+    return {
+        "base": {
+            "conv1": {"kernel": k(7, 7, 3, 64)},
+            "bn1": {"scale": k(64), "bias": k(64), "mean": k(64), "var": k(64)},
+            "layer1": {"block0": {"conv1": {"kernel": k(1, 1, 64, 64)},
+                                  "bn1": {"scale": k(64), "bias": k(64),
+                                          "mean": k(64), "var": k(64)}}},
+            "layer2": {"block0": {"conv1": {"kernel": k(1, 1, 64, 128)}}},
+        },
+        "head": {"layer4": {"block0": {"conv1": {"kernel": k(1, 1, 128, 512)},
+                                       "bn1": {"scale": k(512), "bias": k(512),
+                                               "mean": k(512), "var": k(512)}}}},
+        "rpn": {"RPN_Conv": {"kernel": k(3, 3, 128, 512), "bias": k(512)}},
+        "RCNN_cls_score": {"kernel": k(512, 4), "bias": k(4)},
+    }
+
+
+def test_param_labels_resnet():
+    params = _fake_resnet_params()
+    labels = param_labels(params, "resnet101", fixed_blocks=1)
+    # conv1 + bn1 + layer1 frozen (FIXED_BLOCKS=1, resnet.py:250-259)
+    assert labels["base"]["conv1"]["kernel"] == "frozen"
+    assert labels["base"]["bn1"]["scale"] == "frozen"
+    assert labels["base"]["layer1"]["block0"]["conv1"]["kernel"] == "frozen"
+    # layer2 trainable
+    assert labels["base"]["layer2"]["block0"]["conv1"]["kernel"] == "weight"
+    # head layer4 conv trainable, its BN frozen
+    assert labels["head"]["layer4"]["block0"]["conv1"]["kernel"] == "weight"
+    assert labels["head"]["layer4"]["block0"]["bn1"]["scale"] == "frozen"
+    # rpn: kernel=weight, bias=bias (double-LR group)
+    assert labels["rpn"]["RPN_Conv"]["kernel"] == "weight"
+    assert labels["rpn"]["RPN_Conv"]["bias"] == "bias"
+    counts = count_trainable(labels)
+    assert counts["frozen"] == 14 and counts["bias"] == 2
+
+
+def test_optimizer_bias_double_lr_and_frozen():
+    params = {"w": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+              "base": {"conv1": {"kernel": jnp.ones((3, 3))}}}
+    tx, labels = build_optimizer(params, "resnet101", base_lr=0.1,
+                                 momentum=0.0, weight_decay=0.0)
+    assert labels["base"]["conv1"]["kernel"] == "frozen"
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]["kernel"]), -0.1, rtol=1e-6)
+    # DOUBLE_BIAS: bias LR is 2× (RCNN_bases/trainval_net.py:268-270)
+    np.testing.assert_allclose(np.asarray(updates["w"]["bias"]), -0.2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["base"]["conv1"]["kernel"]), 0.0)
+
+
+def test_lr_schedule_step_decay():
+    sched = make_lr_schedule(0.01, decay_step_iters=100, gamma=0.1)
+    assert sched(0) == 0.01
+    assert sched(99) == 0.01
+    assert abs(sched(100) - 0.001) < 1e-12
+    assert abs(sched(250) - 0.0001) < 1e-12
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from rlobjectdetection_tpu.engine.train import TrainState
+
+    params = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = TrainState(params, tx.init(params), jnp.int32(7))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, session=2, epoch=5, pooling_mode="crop",
+                    class_agnostic=True)
+    state2, meta = load_checkpoint(path, state)
+    np.testing.assert_array_equal(np.asarray(state2.params["a"]),
+                                  np.asarray(params["a"]))
+    assert int(state2.step) == 7
+    assert meta["epoch"] == 5
+    assert meta["pooling_mode"] == "crop"
+    assert meta["class_agnostic"] is True
+
+
+def test_npz_dump_roundtrip(tmp_path):
+    from rlobjectdetection_tpu.engine.checkpoint import load_net_npz, save_net_npz
+
+    params = {"m": {"kernel": jnp.ones((2, 2)) * 3, "bias": jnp.zeros((2,))}}
+    path = str(tmp_path / "net.npz")
+    save_net_npz(path, params)
+    blank = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = load_net_npz(path, blank)
+    np.testing.assert_allclose(np.asarray(restored["m"]["kernel"]), 3.0)
+
+
+def test_merge_pretrained_partial():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convert_torch_weights import merge_pretrained
+
+    params = {
+        "base": {"conv1": {"kernel": np.zeros((7, 7, 3, 64), np.float32)}},
+        "rpn": {"RPN_Conv": {"kernel": np.zeros((3, 3, 64, 512), np.float32)}},
+    }
+    pretrained = {
+        "base": {"conv1": {"kernel": np.ones((7, 7, 3, 64), np.float32)}},
+        "extra": {"x": np.ones((1,))},                      # missing in dst
+        "rpn": {"RPN_Conv": {"kernel": np.ones((9, 9), np.float32)}},  # bad shape
+    }
+    out = merge_pretrained(params, pretrained)
+    assert (np.asarray(out["base"]["conv1"]["kernel"]) == 1).all()
+    assert (np.asarray(out["rpn"]["RPN_Conv"]["kernel"]) == 0).all()
