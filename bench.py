@@ -27,11 +27,13 @@ def main():
 
     # COCO scale-800 config (BASELINE.md bench row): short side 800, padded to
     # 800×1216, COCO anchor scales.
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    remat = "--remat" in sys.argv
     cfg = Config(
         ANCHOR_SCALES=(4, 8, 16, 32),
         MAX_NUM_GT_BOXES=50,
+        REMAT=remat,
     )
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     h, w, g = 800, 1216, 50
     model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
 

@@ -111,6 +111,9 @@ class Config:
     ANCHOR_RATIOS: Tuple[float, ...] = (0.5, 1, 2)
     FEAT_STRIDE: Tuple[int, ...] = (16,)
     CROP_RESIZE_WITH_MAX_POOL: bool = True
+    EXP_DIR: str = "default"
+    DATA_DIR: str = "data"
+    MATLAB: str = "matlab"           # accepted for YAML compat; MATLAB eval is dropped
     # TPU-specific knobs (no reference counterpart)
     DTYPE: str = "bfloat16"          # compute dtype for the backbone/heads
     NMS_TILE: int = 256

@@ -43,12 +43,16 @@ def create_train_state(model: FasterRCNN, tx, sample_batch, seed: int = 3):
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
 
 
-def make_train_step(model: FasterRCNN, tx):
+def make_train_step(model: FasterRCNN, tx, skip_nonfinite: bool = False):
     """Returns train_step(state, batch, rng) → (state, metrics), jittable.
 
     Under a sharded batch + replicated params, XLA inserts the gradient
     all-reduce (the DataParallel loss `.mean()` of
     RCNN_bases/trainval_net.py:324 becomes a psum over the mesh for free).
+
+    skip_nonfinite=True keeps the old params whenever the gradients contain
+    NaN/Inf (utils/guards.py) — the TPU-native replacement for the reference's
+    nonexistent failure detection (SURVEY.md §5).
     """
 
     def loss_fn(params, batch, rng):
@@ -83,6 +87,15 @@ def make_train_step(model: FasterRCNN, tx):
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            from ..utils.guards import finite_mask, skip_nonfinite_update
+
+            ok = finite_mask(grads)
+            params = skip_nonfinite_update(state.params, params, grads)
+            opt_state = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(ok, new, old), state.opt_state, opt_state
+            )
+            metrics["skipped"] = (~ok).astype(jnp.float32)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
