@@ -19,6 +19,10 @@ BASELINE_IMG_PER_SEC_PER_GPU = 0.68
 
 def main():
     import jax
+
+    # persistent compile cache: repeat driver runs skip the ~40 s first compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from rlobjectdetection_tpu.config import Config

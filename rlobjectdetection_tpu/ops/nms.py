@@ -139,7 +139,14 @@ def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
                       tile_size=tile_size, impl=impl)
     sscores = jnp.take(scores, order)
     masked = jnp.where(keep, sscores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(masked, max_out)
+    # clamp: small inputs (e.g. low-res images) can have fewer candidates than
+    # the requested post-NMS count; pad the outputs back up to max_out
+    k_eff = min(max_out, masked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked, k_eff)
+    if k_eff < max_out:
+        top_scores = jnp.pad(top_scores, (0, max_out - k_eff),
+                             constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, (0, max_out - k_eff))
     sel_valid = top_scores > NEG_INF / 2
     sel_in_sorted = jnp.take(order, top_idx)
     sel_boxes = jnp.take(boxes, sel_in_sorted, axis=0)

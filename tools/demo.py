@@ -30,6 +30,7 @@ def parse_args():
     p.add_argument("--load_name", default=None, help="checkpoint dir")
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--vis_thresh", default=0.5, type=float)
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     return p.parse_args()
 
 
@@ -50,11 +51,14 @@ def vis_detections(im, class_name, dets, thresh=0.8):
 
 
 def main():
+    from tools._env import setup_platform
+
+    setup_platform()
     import cv2
     import jax
     import jax.numpy as jnp
 
-    from rlobjectdetection_tpu.config import Config
+    from rlobjectdetection_tpu.config import Config, cfg_from_list
     from rlobjectdetection_tpu.data.minibatch import PIXEL_MEANS_BGR, pad_shape, prep_im_for_blob
     from rlobjectdetection_tpu.engine import postprocess_detections
     from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint
@@ -62,6 +66,8 @@ def main():
 
     args = parse_args()
     cfg = Config()
+    if args.set_cfgs:
+        cfg = cfg_from_list(cfg, args.set_cfgs)
     backbone = {"vgg16": "vgg16", "res101": "resnet101"}.get(args.net, args.net)
     model = FasterRCNN(
         num_classes=len(VOC_CLASSES), backbone=backbone,
@@ -74,10 +80,11 @@ def main():
     else:
         print("WARNING: no --load_name; using random weights (smoke mode)")
         key = jax.random.PRNGKey(3)
-        dummy = jnp.zeros((1, 608, 608, 3), jnp.float32)
+        d = ((cfg.TEST.SCALES[0] + 31) // 32) * 32
+        dummy = jnp.zeros((1, d, d, 3), jnp.float32)
         params = jax.jit(model.init, static_argnames="train")(
             {"params": key, "sampling": key, "dropout": key},
-            dummy, jnp.asarray([[608.0, 608.0, 1.0]]), train=False,
+            dummy, jnp.asarray([[float(d), float(d), 1.0]]), train=False,
         )["params"]
 
     forward = jax.jit(model.apply, static_argnames="train")

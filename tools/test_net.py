@@ -43,6 +43,9 @@ DATASET_MAP = {
 
 
 def main():
+    from tools._env import setup_platform
+
+    setup_platform()
     import jax
     import jax.numpy as jnp
 

@@ -9,6 +9,7 @@ overrides (l.183-188), aspect-grouped batching, per-epoch checkpointing.
 """
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -21,7 +22,8 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="Train a TPU-native Faster R-CNN")
     p.add_argument("--dataset", default="pascal_voc")
-    p.add_argument("--net", default="res101", choices=["vgg16", "res50", "res101", "res152"])
+    p.add_argument("--net", default="res101",
+                   choices=["vgg16", "res50", "res101", "res152", "tiny"])
     p.add_argument("--start_epoch", default=1, type=int)
     p.add_argument("--epochs", default=20, type=int)
     p.add_argument("--disp_interval", default=100, type=int)
@@ -54,6 +56,9 @@ DATASET_MAP = {
 
 
 def main():
+    from tools._env import setup_platform
+
+    setup_platform()
     import jax
     import jax.numpy as jnp
 
@@ -99,7 +104,7 @@ def main():
     iters_per_epoch = len(loader)
 
     backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
-                "res152": "resnet152"}[args.net]
+                "res152": "resnet152"}.get(args.net, args.net)
     model = FasterRCNN(
         num_classes=imdb_obj.num_classes, backbone=backbone,
         class_agnostic=args.class_agnostic, cfg=cfg,
@@ -112,7 +117,11 @@ def main():
     init_params = None
     tx = None
 
-    mesh = make_mesh()
+    # data-parallel mesh over as many devices as evenly divide the batch
+    import jax as _jax
+    n_dev = math.gcd(args.batch_size, len(_jax.devices()))
+    mesh = make_mesh(n_dev)
+    log.info(f"data-parallel over {n_dev} device(s)")
     with mesh:
         key = jax.random.PRNGKey(cfg.RNG_SEED)
         variables = jax.jit(model.init, static_argnames="train")(

@@ -32,10 +32,19 @@ def parse_args():
     p.add_argument("--dt_file", default=None)
     p.add_argument("--data_dir", default=None)
     p.add_argument("--save_dir", default=None)
+    p.add_argument("--img_short", default=None, type=int,
+                   help="override train/test short side (config.py train_img_short)")
+    p.add_argument("--img_size", default=None, type=int,
+                   help="override max size (config.py train_img_size)")
+    p.add_argument("--layers", default=101, type=int,
+                   help="policy-net ResNet depth (reference fixes 101)")
     return p.parse_args()
 
 
 def main():
+    from tools._env import setup_platform
+
+    setup_platform()
     import jax
     import jax.numpy as jnp
     import optax
@@ -63,9 +72,14 @@ def main():
                     wtrans=cfg.act_wtrans)
     log.info(f"{action.num_acts} actions")
 
+    img_short = list(cfg.train_img_short if phase == "train" else cfg.test_img_short)
+    img_size = cfg.train_img_size if phase == "train" else cfg.test_img_size
+    if args.img_short:
+        img_short = [args.img_short]
+    if args.img_size:
+        img_size = args.img_size
     transform = COCOTransform(
-        list(cfg.train_img_short if phase == "train" else cfg.test_img_short),
-        cfg.train_img_size if phase == "train" else cfg.test_img_size,
+        img_short, img_size,
         flip=cfg.train_flip if phase == "train" else cfg.test_flip,
     )
     dataset = COCODataset(
@@ -76,7 +90,7 @@ def main():
     loader = COCODataLoader(dataset, args.batch_size, shuffle=(phase == "train"))
     log.info(f"dataset: {len(dataset)} images")
 
-    model = RLPolicyNet(num_acts=action.num_acts, num_layers=101)
+    model = RLPolicyNet(num_acts=action.num_acts, num_layers=args.layers)
 
     sample = next(iter(loader))
     key = jax.random.PRNGKey(3)
