@@ -1,0 +1,199 @@
+"""Numerical parity vs torch: backbone forwards must match after weight
+conversion.
+
+This is the strongest available proxy for "caffe-pretrained mAP parity"
+without the actual .pth files: hand-built torch modules with
+torchvision-compatible parameter names (the layout tools/convert_torch_weights.py
+expects) are randomly initialized, converted to our flax trees, and both
+frameworks' forward passes are compared elementwise. Covers conv padding
+conventions, the ceil-mode maxpool, frozen-BN math, bottleneck wiring, and the
+NCHW→NHWC weight transposes.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.convert_torch_weights import convert_resnet, convert_vgg16, merge_pretrained  # noqa: E402
+
+
+class TorchBottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNetBase(tnn.Module):
+    """conv1..layer3 with torchvision parameter names; the reference's
+    ceil-mode maxpool (faster_rcnn/resnet.py:113)."""
+
+    def __init__(self, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=0, ceil_mode=True)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=2)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = tnn.Sequential(
+                tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+        mods = [TorchBottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            mods.append(TorchBottleneck(self.inplanes, planes))
+        return tnn.Sequential(*mods)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer3(self.layer2(self.layer1(x)))
+
+
+def _randomize_bn_stats(module, rng):
+    for m in module.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.tensor(rng.randn(m.num_features) * 0.3,
+                                                  dtype=torch.float32))
+                m.running_var.copy_(torch.tensor(rng.rand(m.num_features) + 0.5,
+                                                 dtype=torch.float32))
+                m.weight.copy_(torch.tensor(rng.rand(m.num_features) + 0.5,
+                                            dtype=torch.float32))
+                m.bias.copy_(torch.tensor(rng.randn(m.num_features) * 0.2,
+                                          dtype=torch.float32))
+
+
+def test_resnet_base_forward_parity(rng):
+    tmodel = TorchResNetBase()
+    _randomize_bn_stats(tmodel, rng)
+    tmodel.eval()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    tree = convert_resnet(sd, num_layers=50)
+
+    from rlobjectdetection_tpu.models.backbones.resnet import ResNetBase
+
+    model = ResNetBase(num_layers=50, dtype=jnp.float32)
+    x = rng.randn(1, 3, 96, 128).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    variables = {"params": merge_pretrained(variables["params"], tree["base"])}
+
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()          # [1, 1024, H/16, W/16]
+    got = np.asarray(
+        jax.jit(model.apply)(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    )
+    got = np.transpose(got, (0, 3, 1, 2))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+class TorchVGGFeatures(tnn.Module):
+    """torchvision vgg16 layout: features.{0,2,5,7,10,12,14,17,19,21,24,26,28}
+    conv indices + classifier.{0,3} linears."""
+
+    def __init__(self):
+        super().__init__()
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+        layers = []
+        in_c = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers.append(tnn.Conv2d(in_c, v, 3, padding=1))
+                layers.append(tnn.ReLU(inplace=True))
+                in_c = v
+        self.features = tnn.Sequential(*layers)       # NOTE: no final maxpool
+        self.classifier = tnn.Sequential(
+            tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(inplace=True), tnn.Dropout(),
+            tnn.Linear(4096, 4096), tnn.ReLU(inplace=True), tnn.Dropout(),
+            tnn.Linear(4096, 1000),
+        )
+
+    def forward(self, x):
+        return self.features(x)
+
+
+def test_vgg_base_forward_parity(rng):
+    tmodel = TorchVGGFeatures()
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    tree = convert_vgg16(sd)
+
+    from rlobjectdetection_tpu.models.backbones.vgg import VGGBase, VGGHead
+
+    model = VGGBase(dtype=jnp.float32)
+    x = (rng.randn(1, 3, 96, 128).astype(np.float32)) * 0.1
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), xn)
+    variables = {"params": merge_pretrained(variables["params"], tree["base"])}
+
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()
+    got = np.transpose(np.asarray(jax.jit(model.apply)(variables, xn)), (0, 3, 1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_vgg_head_parity(rng):
+    """fc6/fc7 on NCHW-flattened pool5 must match torch's classifier[:6]."""
+    tmodel = TorchVGGFeatures()
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    tree = convert_vgg16(sd)
+
+    from rlobjectdetection_tpu.models.backbones.vgg import VGGHead
+
+    head = VGGHead(dtype=jnp.float32)
+    pooled_nchw = rng.randn(3, 512, 7, 7).astype(np.float32) * 0.1
+    pooled_nhwc = jnp.asarray(np.transpose(pooled_nchw, (0, 2, 3, 1)))
+    params = jax.jit(lambda k, p: head.init(k, p, train=False))(
+        jax.random.PRNGKey(0), pooled_nhwc
+    )["params"]
+    params = merge_pretrained({"params": params}, {"params": tree["head"]})["params"]
+
+    with torch.no_grad():
+        t = torch.tensor(pooled_nchw).reshape(3, -1)
+        for layer in list(tmodel.classifier.children())[:6]:
+            t = layer(t)
+        want = t.numpy()
+    got = np.asarray(head.apply({"params": params}, pooled_nhwc, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)

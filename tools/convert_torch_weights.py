@@ -91,8 +91,10 @@ def convert_resnet(sd, num_layers=101):
     base["layer1"] = layer("layer1", specs[0])
     base["layer2"] = layer("layer2", specs[1])
     base["layer3"] = layer("layer3", specs[2])
-    head = {"layer4": layer("layer4", specs[3])}
-    return {"base": base, "head": head}
+    out = {"base": base}
+    if "layer4.0.conv1.weight" in sd:  # base-only dumps have no head
+        out["head"] = {"layer4": layer("layer4", specs[3])}
+    return out
 
 
 def merge_pretrained(params, pretrained):
