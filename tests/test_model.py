@@ -93,6 +93,9 @@ def test_train_step_all_pooling_modes(pooling_mode):
     state = TrainState(model_params, opt_state, jnp.int32(0))
     step = make_train_step(model, tx)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    # the step donates the state → snapshot leaves we compare against
+    before_cls = jax.tree_util.tree_map(np.asarray, model_params["RCNN_cls_score"])
+    before_conv1 = jax.tree_util.tree_map(np.asarray, model_params["base"]["conv1"])
     state2, metrics = step(state, jb, jax.random.PRNGKey(7))
     assert np.isfinite(float(metrics["loss"]))
     for k in ("rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box"):
@@ -104,9 +107,9 @@ def test_train_step_all_pooling_modes(pooling_mode):
             for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
         )
 
-    assert changed(state.params["RCNN_cls_score"], state2.params["RCNN_cls_score"])
+    assert changed(before_cls, state2.params["RCNN_cls_score"])
     # conv1 is frozen (fixed block)
-    assert not changed(state.params["base"]["conv1"], state2.params["base"]["conv1"])
+    assert not changed(before_conv1, state2.params["base"]["conv1"])
 
 
 def test_postprocess_detections_shapes():
