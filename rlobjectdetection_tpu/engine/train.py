@@ -43,7 +43,8 @@ def create_train_state(model: FasterRCNN, tx, sample_batch, seed: int = 3):
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
 
 
-def make_train_step(model: FasterRCNN, tx, skip_nonfinite: bool = False):
+def make_train_step(model: FasterRCNN, tx, skip_nonfinite: bool = False,
+                    donate: bool = False):
     """Returns train_step(state, batch, rng) → (state, metrics), jittable.
 
     Under a sharded batch + replicated params, XLA inserts the gradient
@@ -80,9 +81,10 @@ def make_train_step(model: FasterRCNN, tx, skip_nonfinite: bool = False):
         }
         return loss, metrics
 
-    # donate the state: params/opt_state buffers are consumed and reused for
-    # the outputs, halving the train-state HBM footprint
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    # donate=True reuses the state buffers for the outputs (halves the
+    # train-state HBM footprint) but currently triggers a pathological XLA
+    # compile-time blowup on the v5e toolchain in this image — opt-in only.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
