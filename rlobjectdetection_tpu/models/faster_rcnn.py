@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.roi_align import roi_align_avg
+from ..ops.roi_align_vjp import roi_align_avg_cvjp
 from ..ops.roi_crop import roi_crop
 from ..ops.roi_pool import roi_pool
 from .backbones.resnet import ResNetBase, ResNetHead
@@ -212,11 +213,12 @@ class FasterRCNN(nn.Module):
 
         if train and not self.class_agnostic:
             # select the regression group of each roi's label (faster_rcnn.py:91-95)
+            # via one-hot einsum — its backward is another einsum, avoiding the
+            # gather-transpose scatter (a TPU compile-time tarpit here)
             bp = bbox_pred.reshape(-1, self.num_classes, 4)
-            sel = rois_label.reshape(-1)
-            bbox_pred_sel = jnp.take_along_axis(
-                bp, sel[:, None, None].astype(jnp.int32).repeat(4, axis=2), axis=1
-            )[:, 0, :]
+            sel = jax.nn.one_hot(rois_label.reshape(-1), self.num_classes,
+                                 dtype=bp.dtype)
+            bbox_pred_sel = jnp.einsum("ncd,nc->nd", bp, sel)
         else:
             bbox_pred_sel = bbox_pred
 

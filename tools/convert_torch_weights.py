@@ -73,20 +73,20 @@ def convert_resnet(sd, num_layers=101):
         "bn1": _bn(sd, "bn1"),
     }
 
+    def one_block(name, b):
+        blk = {}
+        for ci in (1, 2, 3):
+            blk[f"conv{ci}"] = {"kernel": conv_w(sd[f"{name}.{b}.conv{ci}.weight"])}
+            blk[f"bn{ci}"] = _bn(sd, f"{name}.{b}.bn{ci}")
+        if f"{name}.{b}.downsample.0.weight" in sd:
+            blk["downsample_conv"] = {
+                "kernel": conv_w(sd[f"{name}.{b}.downsample.0.weight"])
+            }
+            blk["downsample_bn"] = _bn(sd, f"{name}.{b}.downsample.1")
+        return blk
+
     def layer(name, blocks):
-        out = {}
-        for b in range(blocks):
-            blk = {}
-            for ci in (1, 2, 3):
-                blk[f"conv{ci}"] = {"kernel": conv_w(sd[f"{name}.{b}.conv{ci}.weight"])}
-                blk[f"bn{ci}"] = _bn(sd, f"{name}.{b}.bn{ci}")
-            if f"{name}.{b}.downsample.0.weight" in sd:
-                blk["downsample_conv"] = {
-                    "kernel": conv_w(sd[f"{name}.{b}.downsample.0.weight"])
-                }
-                blk["downsample_bn"] = _bn(sd, f"{name}.{b}.downsample.1")
-            out[f"block{b}"] = blk
-        return out
+        return {f"block{b}": one_block(name, b) for b in range(blocks)}
 
     base["layer1"] = layer("layer1", specs[0])
     base["layer2"] = layer("layer2", specs[1])
