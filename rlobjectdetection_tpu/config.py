@@ -12,7 +12,7 @@ compiled program.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field, fields, replace
+from dataclasses import dataclass, field, replace
 from typing import Any, Tuple
 
 
@@ -119,21 +119,6 @@ class Config:
     NMS_TILE: int = 256
     NMS_IMPL: str = "auto"           # auto | xla | pallas
     REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
-
-
-def _to_updates(flat: dict, cls) -> dict:
-    """Validate a {key: value} dict (possibly nested dataclasses) into replace() kwargs."""
-    out = {}
-    fmap = {f.name: f for f in fields(cls)}
-    for k, v in flat.items():
-        if k not in fmap:
-            raise KeyError(f"{k} is not a valid config key")
-        f = fmap[k]
-        if dataclasses.is_dataclass(f.type) or f.name in ("TRAIN", "TEST", "RESNET"):
-            out[k] = v  # handled by caller
-        else:
-            out[k] = v
-    return out
 
 
 def _coerce(old: Any, new: Any, key: str) -> Any:

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import Config
 from ..models.faster_rcnn import FasterRCNN
 
 

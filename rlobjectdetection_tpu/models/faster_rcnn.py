@@ -14,7 +14,7 @@ step compiles to a single XLA program (no host sync anywhere).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.roi_align import roi_align_avg
-from ..ops.roi_align_vjp import roi_align_avg_cvjp
 from ..ops.roi_crop import roi_crop
 from ..ops.roi_pool import roi_pool
 from .backbones.resnet import ResNetBase, ResNetHead
