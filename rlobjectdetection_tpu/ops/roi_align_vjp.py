@@ -102,8 +102,14 @@ def _bwd(ah, aw, spatial_scale, res, g):
          w_dl[..., None] * g, w_dr[..., None] * g], axis=0
     ).reshape(4 * n, c)
 
+    # sort the contributions by destination: the sorted-indices scatter-add
+    # avoids XLA's pathological unsorted-scatter compile path on TPU
+    # (measured: 26 s compile / 5.5 ms run vs ~4 min compile unsorted)
+    order = jnp.argsort(idx)
+    idx = jnp.take(idx, order)
+    vals = jnp.take(vals, order, axis=0)
     dflat = jnp.zeros((b * h * w, c), jnp.float32).at[idx].add(
-        vals, mode="drop", indices_are_sorted=False, unique_indices=False
+        vals, indices_are_sorted=True, mode="promise_in_bounds"
     )
     dfeat = dflat.reshape(b, h, w, c).astype(dtype)
     return dfeat, jnp.zeros_like(rois)

@@ -27,6 +27,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Faster R-CNN demo")
     p.add_argument("--net", default="vgg16")
     p.add_argument("--image_dir", default="images")
+    p.add_argument("--webcam_num", default=-1, type=int,
+                   help="webcam device index (>=0 enables webcam mode, demo.py:58)")
     p.add_argument("--load_name", default=None, help="checkpoint dir")
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--vis_thresh", default=0.5, type=float)
@@ -89,6 +91,10 @@ def main():
 
     forward = jax.jit(model.apply, static_argnames="train")
 
+    if args.webcam_num >= 0:
+        _webcam_loop(args, cfg, model, params, forward)
+        return
+
     imglist = [
         f for f in os.listdir(args.image_dir)
         if f.lower().endswith((".jpg", ".png", ".jpeg")) and "_det" not in f
@@ -135,6 +141,53 @@ def main():
         )
         cv2.imwrite(out_path, im2show)
         print(f"wrote {out_path}")
+
+
+def _webcam_loop(args, cfg, model, params, forward):
+    """Webcam mode (RCNN_bases/demo.py:246-258, 352-359): grab frames, detect,
+    display until 'q'."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlobjectdetection_tpu.data.minibatch import PIXEL_MEANS_BGR, pad_shape, prep_im_for_blob
+    from rlobjectdetection_tpu.engine import postprocess_detections
+
+    cap = cv2.VideoCapture(args.webcam_num)
+    if not cap.isOpened():
+        raise RuntimeError("Webcam could not open. Please check connection.")
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        im, im_scale = prep_im_for_blob(frame.astype(np.float32), PIXEL_MEANS_BGR,
+                                        cfg.TEST.SCALES[0])
+        ph, pw = pad_shape(im.shape[0], im.shape[1])
+        blob = np.zeros((1, ph, pw, 3), dtype=np.float32)
+        blob[0, : im.shape[0], : im.shape[1]] = im
+        im_info = np.array([[im.shape[0], im.shape[1], im_scale]], dtype=np.float32)
+        out = forward({"params": params}, jnp.asarray(blob), jnp.asarray(im_info),
+                      train=False)
+        boxes, scores, classes, valid = postprocess_detections(
+            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
+            jnp.asarray(im_info[0]), out["roi_valid"][0],
+            num_classes=len(VOC_CLASSES), max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
+            nms_thresh=cfg.TEST.NMS,
+        )
+        im2show = frame.copy()
+        for j in range(1, len(VOC_CLASSES)):
+            sel = np.asarray(valid) & (np.asarray(classes) == j)
+            if sel.any():
+                dets = np.concatenate(
+                    [np.asarray(boxes)[sel], np.asarray(scores)[sel, None]], axis=1
+                )
+                im2show = vis_detections(im2show, VOC_CLASSES[j], dets, args.vis_thresh)
+        cv2.imshow("result", im2show)
+        if cv2.waitKey(1) & 0xFF == ord("q"):
+            break
+    cap.release()
+    cv2.destroyAllWindows()
 
 
 if __name__ == "__main__":

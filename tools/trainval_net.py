@@ -43,6 +43,8 @@ def parse_args():
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     p.add_argument("--pretrained", default=None, help="converted backbone checkpoint dir")
     p.add_argument("--pooling_mode", default=None)
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace of the first N steps into logs/trace")
     return p.parse_args()
 
 
@@ -167,6 +169,10 @@ def main():
         step_fn = make_train_step(model, tx)
         writer = MetricsWriter("logs") if args.use_tfb else None
 
+        if args.profile:
+            from rlobjectdetection_tpu.utils.logging import start_profiler_trace
+
+            start_profiler_trace("logs/trace")
         step_key = jax.random.PRNGKey(cfg.RNG_SEED + 1)
         meters = {k: AveMeter() for k in
                   ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box")}
@@ -179,6 +185,12 @@ def main():
                     state, sharded, jax.random.fold_in(step_key, global_step)
                 )
                 global_step += 1
+                if args.profile and global_step == int(args.profile):
+                    from rlobjectdetection_tpu.utils.logging import stop_profiler_trace
+
+                    jax.block_until_ready(metrics["loss"])
+                    stop_profiler_trace()
+                    log.info("profiler trace written to logs/trace")
                 if it % args.disp_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     for k in meters:
