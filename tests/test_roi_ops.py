@@ -158,3 +158,22 @@ def test_roi_crop_maxpool_shape(rng):
     feat, rois = _fixture(rng)
     out = roi_crop(_nhwc(feat), jnp.asarray(rois), grid_size=14, spatial_scale=1 / 16.0, max_pool=True)
     assert out.shape == (rois.shape[0], 7, 7, feat.shape[1])
+
+
+def test_roi_align_cvjp_matches_autodiff(rng):
+    """The sorted-scatter custom-vjp variant (ops/roi_align_vjp.py) must match
+    the autodiff version in both forward and backward."""
+    import jax
+
+    from rlobjectdetection_tpu.ops.roi_align_vjp import roi_align_avg_cvjp
+
+    feat, rois = _fixture(rng, b=2, c=8, h=14, w=18, r=10)
+    f = _nhwc(feat)
+    roisj = jnp.asarray(rois)
+    f1 = np.asarray(roi_align_avg(f, roisj, 7, 1.0 / 16.0))
+    f2 = np.asarray(roi_align_avg_cvjp(f, roisj, 7, 1.0 / 16.0))
+    np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5)
+
+    g1 = jax.grad(lambda x: roi_align_avg(x, roisj, 7, 1.0 / 16.0).sum())(f)
+    g2 = jax.grad(lambda x: roi_align_avg_cvjp(x, roisj, 7, 1.0 / 16.0).sum())(f)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
