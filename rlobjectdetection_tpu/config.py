@@ -119,6 +119,7 @@ class Config:
     NMS_TILE: int = 256
     NMS_IMPL: str = "auto"           # auto | xla | pallas
     REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
+    ALIGN_IMPL: str = "autodiff"     # autodiff | cvjp (sorted-scatter backward; compiles faster)
 
 
 def _coerce(old: Any, new: Any, key: str) -> Any:

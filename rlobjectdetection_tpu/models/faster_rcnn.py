@@ -106,10 +106,10 @@ class FasterRCNN(nn.Module):
         c = self.cfg
         mode = c.POOLING_MODE
         if mode == "align":
-            # XLA-autodiff variant: ~4% faster steps than the sorted-scatter
-            # custom-vjp (ops/roi_align_vjp.py, kept as an opt-in that compiles
-            # ~70 s faster) — measured on v5e at bs2 COCO-800
-            pooled = roi_align_avg(base_feat, rois_flat, c.POOLING_SIZE, 1.0 / 16.0)
+            # autodiff: ~4% faster steps at bs2; cvjp (sorted-scatter backward,
+            # ops/roi_align_vjp.py) compiles minutes faster — selectable
+            align = roi_align_avg if c.ALIGN_IMPL == "autodiff" else roi_align_avg_cvjp
+            pooled = align(base_feat, rois_flat, c.POOLING_SIZE, 1.0 / 16.0)
         elif mode == "pool":
             pooled = roi_pool(base_feat, rois_flat, c.POOLING_SIZE, c.POOLING_SIZE, 1.0 / 16.0)
         elif mode == "crop":
