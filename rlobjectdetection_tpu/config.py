@@ -186,6 +186,18 @@ def cfg_from_list(cfg: Config, cfg_list) -> Config:
     return cfg
 
 
+def get_output_dir(cfg: Config, imdb_name: str, weights_filename: str | None = None) -> str:
+    """Experiment artifact directory (utils/config.py:305-318):
+    output/<EXP_DIR>/<imdb name>/<weights or 'default'>, created on demand."""
+    import os
+
+    outdir = os.path.abspath(
+        os.path.join("output", cfg.EXP_DIR, imdb_name, weights_filename or "default")
+    )
+    os.makedirs(outdir, exist_ok=True)
+    return outdir
+
+
 # Dataset-specific override lists mirroring RCNN_bases/trainval_net.py:160-181.
 DATASET_OVERRIDES = {
     "pascal_voc": {
