@@ -175,3 +175,52 @@ def test_rl_policy_net_forward_and_grad():
     # but conv grads flow — freezing happens in the optimizer for RL)
     gl = jax.tree_util.tree_leaves(g["fc"])
     assert any(np.abs(np.asarray(x)).sum() > 0 for x in gl)
+
+
+def test_warm_start_from_detector():
+    """The RL trunk warm-start must copy matching detector weights
+    (trainval_net.py:96-99 strict=False semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.config import Config, TestConfig, TrainConfig
+    from rlobjectdetection_tpu.models import FasterRCNN
+    from rlobjectdetection_tpu.models.rl import RLPolicyNet, warm_start_from_detector
+
+    cfg = Config(TRAIN=TrainConfig(RPN_PRE_NMS_TOP_N=64, RPN_POST_NMS_TOP_N=16,
+                                   BATCH_SIZE=8),
+                 TEST=TestConfig(RPN_PRE_NMS_TOP_N=64, RPN_POST_NMS_TOP_N=16),
+                 DTYPE="float32", NMS_TILE=64)
+    det = FasterRCNN(num_classes=4, backbone="resnet50", cfg=cfg)
+    key = jax.random.PRNGKey(0)
+    det_params = jax.jit(det.init, static_argnames="train")(
+        {"params": key, "sampling": key, "dropout": key},
+        jnp.zeros((1, 64, 64, 3)), jnp.asarray([[64.0, 64.0, 1.0]]), train=False,
+    )["params"]
+
+    rl = RLPolicyNet(num_acts=8, num_layers=50)
+    bboxes = jnp.zeros((1, 2, 8))
+    rl_params = jax.jit(rl.init)(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3)), bboxes,
+        jnp.zeros((1, 2, 8)), jnp.ones((1, 2, 8)),
+    )["params"]
+
+    import numpy as np
+
+    before = np.asarray(rl_params["base"]["conv1"]["kernel"])
+    warm = warm_start_from_detector(rl_params, det_params)
+    np.testing.assert_array_equal(
+        np.asarray(warm["base"]["conv1"]["kernel"]),
+        np.asarray(det_params["base"]["conv1"]["kernel"]),
+    )
+    assert not np.array_equal(before, np.asarray(warm["base"]["conv1"]["kernel"]))
+    # RL-only heads untouched
+    np.testing.assert_array_equal(
+        np.asarray(warm["fc8"]["kernel"]), np.asarray(rl_params["fc8"]["kernel"])
+    )
+    # detector head layer4 (stride 2) vs RL head (stride 1): same param shapes →
+    # copied too
+    np.testing.assert_array_equal(
+        np.asarray(warm["head"]["layer4"]["block0"]["conv1"]["kernel"]),
+        np.asarray(det_params["head"]["layer4"]["block0"]["conv1"]["kernel"]),
+    )
