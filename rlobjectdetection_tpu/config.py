@@ -120,6 +120,7 @@ class Config:
     NMS_IMPL: str = "auto"           # auto | xla | pallas
     REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
     ALIGN_IMPL: str = "autodiff"     # autodiff | cvjp (sorted-scatter backward; compiles faster)
+    CONV1_S2D: bool = False          # space-to-depth stem (identical numerics; measured slower on v5e)
 
 
 def _coerce(old: Any, new: Any, key: str) -> Any:

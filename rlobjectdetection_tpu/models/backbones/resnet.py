@@ -133,25 +133,78 @@ class ResLayer(nn.Module):
         return x
 
 
+def conv1_space_to_depth(x, kernel, dtype):
+    """7×7/2 conv on 3-channel input recast as a 4×4/1 conv on 2× space-to-depth
+    input (the MLPerf ResNet trick): C_in=3 wastes 125/128 MXU lanes; C_in=12
+    with a 4×4 window packs the same contraction 4× denser.
+
+    `kernel` is the CANONICAL [7, 7, 3, 64] conv1 param (checkpoint-compatible);
+    the rearrangement below is a trace-time constant fold. Output at (i, j)
+    = Σ_{dy,dx<7} W[dy,dx,c]·x[2i+dy-3, 2j+dx-3, c]; with u = 2(i+δ)+p the tap
+    index is dy = 2δ+p over δ∈[0,4), p∈{0,1} after a 3-pixel top/left pad —
+    dy = 7 (δ=3, p=1) falls off the 7-tap window, so the kernel pads to 8 with
+    a zero row/col.
+    """
+    b, h, w, c = x.shape
+    out_h = (h - 1) // 2 + 1
+    out_w = (w - 1) // 2 + 1
+    # pad: 3 on top/left (the conv's own padding), bottom/right up to the even
+    # length the 4-tap s2d window needs
+    ph = 2 * out_h + 6
+    pw = 2 * out_w + 6
+    xp = jnp.pad(x, ((0, 0), (3, ph - 3 - h), (3, pw - 3 - w), (0, 0)))
+    xs = xp.reshape(b, ph // 2, 2, pw // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph // 2, pw // 2, 4 * c)
+
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))        # [8, 8, 3, O]
+    o = kernel.shape[-1]
+    kk = k8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    kk = kk.reshape(4, 4, 4 * c, o)                               # [4, 4, 12, O]
+
+    return lax.conv_general_dilated(
+        xs.astype(dtype), kk.astype(dtype),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class Conv1S2D(nn.Module):
+    """Stem conv in space-to-depth form — param path/shape identical to the
+    plain nn.Conv ('conv1/kernel', [7, 7, 3, 64]) so checkpoints interchange."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64))
+        return conv1_space_to_depth(x, kernel, self.dtype)
+
+
 class ResNetBase(nn.Module):
     """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239).
 
     remat=True rematerializes each residual stage in the backward pass
     (jax.checkpoint) — trades ~25% extra backbone FLOPs for activation memory,
     enabling larger per-chip batches (the reference fit only 3-4 images on a
-    12 GB GPU, README.md:42).
+    12 GB GPU, README.md:42). conv1_s2d=True runs the stem conv in
+    space-to-depth form (numerically identical, same param layout).
     """
 
     num_layers: int = 101
     dtype: Any = jnp.float32
     remat: bool = False
+    conv1_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         specs = LAYER_SPECS[self.num_layers]
         layer = nn.remat(ResLayer) if self.remat else ResLayer
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.conv1_s2d:
+            x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = ceil_max_pool(x)

@@ -80,7 +80,8 @@ class FasterRCNN(nn.Module):
             self.dout_base = 64
         elif self.backbone.startswith("resnet"):
             layers = int(self.backbone[len("resnet"):])
-            self.base = ResNetBase(num_layers=layers, dtype=dtype, remat=self.cfg.REMAT)
+            self.base = ResNetBase(num_layers=layers, dtype=dtype, remat=self.cfg.REMAT,
+                                   conv1_s2d=self.cfg.CONV1_S2D)
             self.head = ResNetHead(num_layers=layers, dtype=dtype)
             self.dout_base = 1024
         else:

@@ -197,3 +197,23 @@ def test_vgg_head_parity(rng):
         want = t.numpy()
     got = np.asarray(head.apply({"params": params}, pooled_nhwc, train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_conv1_s2d_equivalence(rng):
+    """Space-to-depth stem (CONV1_S2D) matches the plain 7×7/2 conv exactly,
+    including odd input sizes."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rlobjectdetection_tpu.models.backbones.resnet import conv1_space_to_depth
+
+    for h, w in [(64, 96), (67, 93)]:
+        x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.05)
+        want = lax.conv_general_dilated(
+            x, k, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = conv1_space_to_depth(x, k, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
