@@ -134,6 +134,67 @@ class pascal_voc(imdb):
             "seg_areas": seg_areas,
         }
 
+    def selective_search_roidb(self):
+        """gt + selective-search proposal roidb (pascal_voc.py:139-165):
+        proposals from data/selective_search_data/<name>.pkl merged with gt
+        (test split uses proposals alone)."""
+        cache_file = os.path.join(self.cache_path,
+                                  self.name + "_selective_search_roidb.pkl")
+        if os.path.exists(cache_file):
+            with open(cache_file, "rb") as fid:
+                return pickle.load(fid)
+        if int(self._year) == 2007 or self._image_set != "test":
+            gt = self.gt_roidb()
+            ss = self._load_selective_search_roidb(gt)
+            roidb = self.merge_roidbs(gt, ss)
+        else:
+            roidb = self._load_selective_search_roidb(None)
+        with open(cache_file, "wb") as fid:
+            pickle.dump(roidb, fid, pickle.HIGHEST_PROTOCOL)
+        return roidb
+
+    def _load_selective_search_roidb(self, gt_roidb):
+        """Load the MATLAB-format proposal file (pascal_voc.py:177-191):
+        boxes stored (y1, x1, y2, x2) 1-based → (x1, y1, x2, y2) 0-based."""
+        import scipy.io as sio
+
+        filename = os.path.join(
+            self._data_root(), "selective_search_data", self.name + ".mat"
+        )
+        assert os.path.exists(filename), (
+            f"Selective search data not found at: {filename}"
+        )
+        raw_data = sio.loadmat(filename)["boxes"].ravel()
+        box_list = []
+        for i in range(raw_data.shape[0]):
+            boxes = raw_data[i][:, (1, 0, 3, 2)] - 1
+            from .ds_utils import unique_boxes, filter_small_boxes
+
+            keep = unique_boxes(boxes)
+            boxes = boxes[keep, :]
+            keep = filter_small_boxes(boxes, self.config["min_size"])
+            box_list.append(boxes[keep, :])
+        return self.create_roidb_from_box_list(box_list, gt_roidb)
+
+    def rpn_roidb(self):
+        """gt + precomputed-RPN proposal roidb (pascal_voc.py:167-203): proposal
+        pickle path supplied via config['rpn_file']."""
+        if int(self._year) == 2007 or self._image_set != "test":
+            gt = self.gt_roidb()
+            rpn = self._load_rpn_roidb(gt)
+            return self.merge_roidbs(gt, rpn)
+        return self._load_rpn_roidb(None)
+
+    def _load_rpn_roidb(self, gt_roidb):
+        filename = self.config["rpn_file"]
+        print(f"loading {filename}")
+        assert filename and os.path.exists(filename), (
+            f"rpn data not found at: {filename}"
+        )
+        with open(filename, "rb") as f:
+            box_list = pickle.load(f)
+        return self.create_roidb_from_box_list(box_list, gt_roidb)
+
     def _get_comp_id(self):
         return (
             f"{self._comp_id}_{self._salt}" if self.config["use_salt"] else self._comp_id

@@ -159,3 +159,31 @@ def test_voc_eval_end_to_end(data_root, tmp_path):
     out = str(tmp_path / "out")
     mean_ap = db.evaluate_detections(all_boxes, out)
     assert mean_ap > 0.99
+
+
+def test_rpn_roidb_merge(data_root, tmp_path):
+    """Precomputed-proposal roidbs: rpn_roidb merges gt with a proposal pickle
+    (pascal_voc.py:167-203 semantics)."""
+    import pickle
+
+    db = _voc_imdb(data_root)
+    gt = db.gt_roidb()
+    rng = np.random.RandomState(0)
+    box_list = []
+    for e in gt:
+        n = 5
+        x1 = rng.randint(0, 200, n)
+        y1 = rng.randint(0, 150, n)
+        boxes = np.stack([x1, y1, x1 + 40, y1 + 40], axis=1).astype(np.uint16)
+        box_list.append(boxes)
+    rpn_file = str(tmp_path / "rpn.pkl")
+    with open(rpn_file, "wb") as f:
+        pickle.dump(box_list, f)
+    db.config["rpn_file"] = rpn_file
+    roidb = db.rpn_roidb()
+    for i, e in enumerate(roidb):
+        # merged: gt boxes first, then 5 proposals
+        assert len(e["boxes"]) == len(gt[i]["boxes"]) + 5
+        # proposals carry gt_classes 0 and max-overlap info vs gt
+        assert (e["gt_classes"][len(gt[i]["boxes"]):] == 0).all()
+        assert e["gt_overlaps"].shape[1] == db.num_classes
