@@ -187,3 +187,69 @@ def test_rpn_roidb_merge(data_root, tmp_path):
         # proposals carry gt_classes 0 and max-overlap info vs gt
         assert (e["gt_classes"][len(gt[i]["boxes"]):] == 0).all()
         assert e["gt_overlaps"].shape[1] == db.num_classes
+
+
+def test_evaluate_recall(data_root):
+    """Proposal-recall eval (imdb.py:131-219): gt boxes as candidates → AR 1.0."""
+    db = _voc_imdb(data_root)
+    roidb = db.gt_roidb()
+    db._roidb = roidb
+    candidates = [e["boxes"].astype(np.float32) for e in roidb]
+    res = db.evaluate_recall(candidate_boxes=candidates)
+    assert res["ar"] > 0.99
+    assert (res["recalls"] > 0.99).all()
+    # shifted candidates → recall collapses at high IoU thresholds
+    shifted = [b + np.array([30, 30, 30, 30], dtype=np.float32) for b in candidates]
+    res2 = db.evaluate_recall(candidate_boxes=shifted)
+    assert res2["ar"] < res["ar"]
+
+
+def test_combined_roidb_concat(data_root):
+    """'+'-joined dataset names concatenate roidbs (roidb.py:88-132)."""
+    from rlobjectdetection_tpu.data.imdb import combined_roidb
+
+    # patch the factory to return our synthetic-classed imdb
+    import rlobjectdetection_tpu.data.factory as factory
+
+    orig = factory.get_imdb
+    factory.get_imdb = lambda name: _voc_imdb(data_root)
+    try:
+        im_db, roidb, ratio_list, ratio_index = combined_roidb(
+            "voc_2007_trainval+voc_2007_trainval", training=True, use_flipped=False
+        )
+        assert len(roidb) == 2 * 6
+        assert len(ratio_list) == len(roidb)
+        assert (np.diff(ratio_list) >= 0).all()
+    finally:
+        factory.get_imdb = orig
+
+
+def test_loader_need_crop(tmp_path):
+    """Extreme aspect ratios trigger the gt-aware crop (roibatchLoader.py:88-158):
+    the padded canvas must match the clamped target ratio and keep gt inside."""
+    from rlobjectdetection_tpu.data.synthetic import make_voc_devkit
+    from rlobjectdetection_tpu.data.pascal_voc import pascal_voc
+
+    root = tmp_path / "wide"
+    make_voc_devkit(str(root), num_images=4, image_size=(100, 400))  # ratio 4 > 2
+    os.environ["RLOD_DATA_DIR"] = str(root)
+    try:
+        db = pascal_voc("trainval", "2007")
+        db._classes = ["__background__", "widget", "gadget", "gizmo"]
+        db._class_to_ind = {c: i for i, c in enumerate(db._classes)}
+        prepare_roidb(db)
+        roidb = filter_roidb(db.roidb)
+        ratio_list, ratio_index = rank_roidb_ratio(roidb)
+        assert all(e["need_crop"] for e in roidb)
+        assert (ratio_list == 2.0).all()  # clamped to ratio_large
+        loader = RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size=2,
+                                scales=(100,), max_num_gt=20)
+        batch = next(iter(loader))
+        h, w = batch["data"].shape[1:3]
+        # canvas aspect ≈ 2 after crop+pad (quantized to 32)
+        assert 1.5 <= w / h <= 2.7, (h, w)
+        for i in range(2):
+            g = batch["gt_boxes"][i][: batch["num_boxes"][i]]
+            assert (g[:, 2] <= batch["im_info"][i, 1]).all()
+    finally:
+        os.environ.pop("RLOD_DATA_DIR", None)
