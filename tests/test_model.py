@@ -133,3 +133,31 @@ def test_postprocess_detections_shapes():
     # detections are in original-image coords (≤ 200/2=100... boxes clipped to
     # scaled image then divided by scale)
     assert np.asarray(boxes)[np.asarray(v)].max() <= 100.0
+
+
+def test_proposal_layer_unit():
+    """Direct proposal-layer contract: batch column, score ordering, validity."""
+    from rlobjectdetection_tpu.models.rpn import proposal_layer
+
+    rng_np = np.random.RandomState(0)
+    b, h, w, a = 2, 6, 8, 9
+    fg = jnp.asarray(rng_np.rand(b, h, w, a).astype(np.float32))
+    deltas = jnp.asarray(rng_np.randn(b, h, w, 4 * a).astype(np.float32) * 0.05)
+    im_info = jnp.asarray([[96.0, 128.0, 1.0]] * b)
+    rois, scores, valid = jax.jit(
+        lambda f, d, i: proposal_layer(
+            f, d, i, feat_stride=16, anchor_scales=(2, 3, 5),
+            anchor_ratios=(0.5, 1, 2), pre_nms_top_n=200, post_nms_top_n=32,
+            nms_thresh=0.7, nms_tile=64,
+        )
+    )(fg, deltas, im_info)
+    assert rois.shape == (b, 32, 5)
+    r = np.asarray(rois)
+    v = np.asarray(valid)
+    s = np.asarray(scores)
+    for i in range(b):
+        np.testing.assert_array_equal(r[i, :, 0], i)   # batch idx column
+        sv = s[i][v[i]]
+        assert (np.diff(sv) <= 1e-6).all()             # descending score order
+        assert (r[i, v[i], 1:] >= 0).all()
+        assert (r[i, v[i], 3] <= 127).all() and (r[i, v[i], 4] <= 95).all()

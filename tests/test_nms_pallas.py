@@ -35,3 +35,19 @@ def test_pallas_matches_xla_with_invalid(rng):
         nms_sorted_mask_pallas(sboxes, valid, 0.5, tile_size=128, interpret=True)
     )
     np.testing.assert_array_equal(k_xla, k_pal)
+
+
+def test_pallas_grid_matches_oracle(rng):
+    """The grid-based Pallas kernel (ops/nms_pallas_grid.py) is also exact."""
+    from rlobjectdetection_tpu.ops.nms_pallas_grid import nms_sorted_mask_pallas_grid
+
+    boxes, scores = _rand_dets(rng, 500, size=60.0)
+    order = np.argsort(-scores)
+    keep = np.asarray(
+        nms_sorted_mask_pallas_grid(
+            jnp.asarray(boxes[order]), jnp.ones(500, dtype=bool), 0.5,
+            tile_size=128, interpret=True,
+        )
+    )
+    oracle = np_greedy_nms(boxes[order], scores[order], 0.5)
+    np.testing.assert_array_equal(np.where(keep)[0], np.sort(oracle))

@@ -224,3 +224,17 @@ def test_warm_start_from_detector():
         np.asarray(warm["head"]["layer4"]["block0"]["conv1"]["kernel"]),
         np.asarray(det_params["head"]["layer4"]["block0"]["conv1"]["kernel"]),
     )
+
+
+def test_move_predicted_free_running():
+    """Deployment-mode move: top-k boxes move by their own argmax action
+    regardless of targets (the spec-repaired free-running eval)."""
+    a = Action([0.5])
+    boxes = np.array([[[10.0, 10.0, 20.0, 20.0],
+                       [50.0, 50.0, 10.0, 10.0]]])
+    preds = np.zeros((1, 2, a.num_acts))
+    preds[0, 0, 0] = 9.0   # box 0: strong vote for +0.5 on x
+    preds[0, 1, 2] = 1.0   # box 1: weaker vote
+    moved = a.move_predicted(boxes, preds, maxk=1)
+    np.testing.assert_allclose(moved[0, 0], [10 + 0.5 * 20, 10, 20, 20])
+    np.testing.assert_allclose(moved[0, 1], boxes[0, 1])  # beyond maxk: untouched

@@ -177,3 +177,16 @@ def test_roi_align_cvjp_matches_autodiff(rng):
     g1 = jax.grad(lambda x: roi_align_avg(x, roisj, 7, 1.0 / 16.0).sum())(f)
     g2 = jax.grad(lambda x: roi_align_avg_cvjp(x, roisj, 7, 1.0 / 16.0).sum())(f)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_roi_crop_grad_flows(rng):
+    feat, rois = _fixture(rng, b=1, c=4, h=12, w=12, r=3)
+    f = _nhwc(feat)
+
+    def loss(x):
+        return roi_crop(x, jnp.asarray(rois), grid_size=14,
+                        spatial_scale=1.0 / 16.0, max_pool=True).sum()
+
+    g = jax.grad(loss)(f)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
