@@ -121,3 +121,32 @@ def test_merge_pretrained_partial():
     out = merge_pretrained(params, pretrained)
     assert (np.asarray(out["base"]["conv1"]["kernel"]) == 1).all()
     assert (np.asarray(out["rpn"]["RPN_Conv"]["kernel"]) == 0).all()
+
+
+def test_create_train_state_and_forward_fn():
+    """Engine API surface: create_train_state + make_forward_fn round trip."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.config import Config, TestConfig, TrainConfig
+    from rlobjectdetection_tpu.engine.train import create_train_state, make_forward_fn
+    from rlobjectdetection_tpu.models import FasterRCNN
+
+    cfg = Config(TRAIN=TrainConfig(RPN_PRE_NMS_TOP_N=64, RPN_POST_NMS_TOP_N=16,
+                                   BATCH_SIZE=8),
+                 TEST=TestConfig(RPN_PRE_NMS_TOP_N=64, RPN_POST_NMS_TOP_N=16),
+                 DTYPE="float32", NMS_TILE=64, ANCHOR_SCALES=(2, 3, 5))
+    model = FasterRCNN(num_classes=4, backbone="tiny", cfg=cfg)
+    batch = {
+        "data": np.zeros((1, 64, 64, 3), np.float32),
+        "im_info": np.array([[64.0, 64.0, 1.0]], np.float32),
+        "gt_boxes": np.array([[[4, 4, 40, 40, 1]]], np.float32),
+        "num_boxes": np.array([1], np.int32),
+    }
+    tx = optax.sgd(0.01)
+    state = create_train_state(model, tx, batch)
+    assert int(state.step) == 0
+    fwd = make_forward_fn(model)
+    out = fwd(state.params, jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]))
+    assert out["rois"].shape == (1, 16, 5)
