@@ -122,6 +122,8 @@ def main():
         jax.block_until_ready(boxes)
         t_det += time.time() - t0
         dets.append((boxes, scores, classes, valid))
+        if args.vis and i < 20:
+            _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid)
         if i % 100 == 0:
             print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")
 
@@ -133,6 +135,31 @@ def main():
 
     print("Evaluating detections")
     imdb_obj.evaluate_detections(all_boxes, output_dir)
+
+
+def _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid):
+    """--vis: draw the detections on the original image (test_net.py:269,308-312)
+    for the first images and save under output/vis."""
+    import cv2
+    import numpy as np
+
+    im = cv2.imread(roidb[i]["image"])
+    if im is None:
+        return
+    b = np.asarray(boxes)
+    s = np.asarray(scores)
+    c = np.asarray(classes)
+    v = np.asarray(valid)
+    for k in range(len(b)):
+        if not v[k] or s[k] < 0.3:
+            continue
+        x1, y1, x2, y2 = (int(round(x)) for x in b[k])
+        cv2.rectangle(im, (x1, y1), (x2, y2), (0, 204, 0), 2)
+        name = imdb_obj.classes[int(c[k])] if int(c[k]) < imdb_obj.num_classes else str(c[k])
+        cv2.putText(im, f"{name}: {s[k]:.2f}", (x1, y1 + 14),
+                    cv2.FONT_HERSHEY_PLAIN, 1.0, (0, 0, 255), 1)
+    os.makedirs(os.path.join("output", "vis"), exist_ok=True)
+    cv2.imwrite(os.path.join("output", "vis", f"det_{i:04d}.jpg"), im)
 
 
 if __name__ == "__main__":
