@@ -152,27 +152,24 @@ class imdb:
                 continue
             if limit is not None and boxes.shape[0] > limit:
                 boxes = boxes[:limit, :]
-            overlaps = bbox_overlaps_np(boxes.astype(float), gt_boxes.astype(float))
-            _gt_overlaps = np.zeros((gt_boxes.shape[0]))
+            ov = bbox_overlaps_np(boxes.astype(float), gt_boxes.astype(float))
+            # Greedy one-to-one matching: claim the best remaining
+            # (proposal, gt) pair each round and retire both. gt-major flat
+            # argmax reproduces the reference's tie order (first gt, then
+            # first proposal — imdb.py:187-214).
+            picked = np.empty(gt_boxes.shape[0])
             for j in range(gt_boxes.shape[0]):
-                argmax_overlaps = overlaps.argmax(axis=0)
-                max_overlaps = overlaps.max(axis=0)
-                gt_ind = max_overlaps.argmax()
-                gt_ovr = max_overlaps.max()
-                assert gt_ovr >= 0
-                box_ind = argmax_overlaps[gt_ind]
-                _gt_overlaps[j] = overlaps[box_ind, gt_ind]
-                assert _gt_overlaps[j] == gt_ovr
-                overlaps[box_ind, :] = -1
-                overlaps[:, gt_ind] = -1
-            gt_overlaps = np.hstack((gt_overlaps, _gt_overlaps))
+                gi, bi = divmod(int(ov.T.argmax()), ov.shape[0])
+                picked[j] = ov[bi, gi]
+                ov[bi, :] = -1
+                ov[:, gi] = -1
+            gt_overlaps = np.hstack((gt_overlaps, picked))
         gt_overlaps = np.sort(gt_overlaps)
         if thresholds is None:
-            step = 0.05
-            thresholds = np.arange(0.5, 0.95 + 1e-5, step)
-        recalls = np.zeros_like(thresholds)
-        for i, t in enumerate(thresholds):
-            recalls[i] = (gt_overlaps >= t).sum() / float(max(num_pos, 1))
+            thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+        thresholds = np.asarray(thresholds, dtype=np.float64)
+        recalls = (gt_overlaps[None, :] >= thresholds[:, None]).sum(axis=1) \
+            / float(max(num_pos, 1))
         ar = recalls.mean()
         return {"ar": ar, "recalls": recalls, "thresholds": thresholds,
                 "gt_overlaps": gt_overlaps}

@@ -76,7 +76,10 @@ def ceil_max_pool(x, window: int = 3, stride: int = 2):
 class Bottleneck(nn.Module):
     """1×1 → 3×3 → 1×1 bottleneck (resnet.py:66-102), expansion 4.
 
-    Caffe/torchvision flavor: stride on the 3×3 conv.
+    Caffe flavor per the reference's '# change' comments (resnet.py:71-73):
+    the STRIDE SITS ON THE 1×1 conv1, conv2 is stride 1 (unlike torchvision,
+    which strides the 3×3). Checkpoints are shape-compatible either way, so
+    getting this wrong silently loads caffe weights into the wrong graph.
     """
 
     planes: int
@@ -91,10 +94,10 @@ class Bottleneck(nn.Module):
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name,
         )
-        out = conv(self.planes, 1, 1, "conv1")(x)
+        out = conv(self.planes, 1, self.stride, "conv1")(x)
         out = FrozenBatchNorm(self.planes, self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, "conv2")(out)
+        out = conv(self.planes, 3, 1, "conv2")(out)
         out = FrozenBatchNorm(self.planes, self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * 4, 1, 1, "conv3")(out)

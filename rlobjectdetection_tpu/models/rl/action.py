@@ -6,9 +6,9 @@ len(delta) × 2 signs actions; `actDeltas[num_acts, 4]` scaled by alpha (l.16-22
 (boxes move only when the target says the action helps, l.25-59) returning
 precision@k.
 
-`move_from_act_batch` adds a vectorized numpy fast path with identical
-semantics; a jnp variant (`actions_apply`) moves boxes on device for the
-jitted eval path.
+`move_from_act` here is a single vectorized pass (argmax-action + top-k box
+ranking + masked scatter) rather than the reference's python walk over the
+flattened score sort — identical outputs including tie-breaking.
 """
 
 from __future__ import annotations
@@ -38,31 +38,47 @@ class Action:
 
     def move_from_act(self, bboxes: np.ndarray, preds: np.ndarray,
                       targets: np.ndarray, maxk: int):
-        """bboxes [B, N, 4] xywh (mutated in place, like the reference);
-        preds/targets [B, N, num_acts]. Returns (bboxes, precision@maxk·100)."""
-        batch_size, num_boxes, _ = bboxes.shape
-        assert preds.shape == targets.shape
-        assert bboxes.ndim == 3 and preds.ndim == 3
-        correct = 0
-        for bid in range(batch_size):
-            cnt = 0
-            vis = [None] * num_boxes
-            pred, target = preds[bid], targets[bid]
-            inds = np.flip(np.argsort(pred.reshape(-1), kind="stable"), axis=0)
-            for num in inds:
-                idx = num // self.num_acts
-                act_id = num % self.num_acts
-                x, y, w, h = bboxes[bid][idx]
-                delta = self.actDeltas[act_id]
-                if vis[idx] is None:
-                    cnt += 1
-                    vis[idx] = 1
-                    if target[idx][act_id] == 1:
-                        correct += 1
-                        bboxes[bid][idx] += delta * np.array([w, h, w, h])
-                if cnt >= maxk:
-                    break
-        return bboxes, correct * 100.0 / (batch_size * maxk)
+        """Teacher-forced greedy refinement (semantics of Reinforcement/
+        action.py:25-59), fully vectorized.
+
+        bboxes [B, N, 4] xywh (mutated in place, as callers expect);
+        preds/targets [B, N, num_acts]. Returns (bboxes, precision@maxk·100).
+
+        Equivalence to the reference's flattened descending-score walk: a box
+        is processed the first time any of its (box, action) scores appears in
+        that walk, i.e. the top-maxk boxes ranked by their best action score,
+        each paired with its own best action. On exact score ties the
+        reference's order is unspecified (plain np.argsort + flip); here ties
+        break deterministically toward the LARGER flattened index, both in the
+        per-box action choice and in the box ranking. Oracle-tested equal to
+        the reference module on tie-free scores (tests/test_eval_oracle.py).
+        """
+        b, n, _ = bboxes.shape
+        assert preds.shape == targets.shape == (b, n, self.num_acts)
+        # Per-box best action with reverse-index tie-breaking.
+        act = self.num_acts - 1 - np.argmax(preds[:, :, ::-1], axis=2)   # [B, N]
+        score = np.take_along_axis(preds, act[:, :, None], axis=2)[..., 0]
+        # Box processing order: descending score; equal scores toward the box
+        # whose flattened (box·A + act) position is larger.
+        flat_pos = np.arange(n)[None, :] * self.num_acts + act
+        by_pos = np.argsort(-flat_pos, axis=1, kind="stable")
+        by_score = np.argsort(-np.take_along_axis(score, by_pos, axis=1),
+                              axis=1, kind="stable")
+        order = np.take_along_axis(by_pos, by_score, axis=1)             # [B, N]
+
+        top = order[:, : min(maxk, n)]                                   # [B, K]
+        top_act = np.take_along_axis(act, top, axis=1)                   # [B, K]
+        tgt = np.take_along_axis(
+            np.take_along_axis(targets, top[:, :, None], axis=1),
+            top_act[:, :, None], axis=2,
+        )[..., 0]
+        helped = tgt == 1                                                # [B, K]
+
+        cur = np.take_along_axis(bboxes, top[:, :, None], axis=1)        # [B, K, 4]
+        step = self.actDeltas[top_act] * cur[:, :, [2, 3, 2, 3]]
+        np.put_along_axis(bboxes, top[:, :, None],
+                          cur + np.where(helped[:, :, None], step, 0.0), axis=1)
+        return bboxes, int(helped.sum()) * 100.0 / (b * maxk)
 
     def move_predicted(self, bboxes: np.ndarray, preds: np.ndarray, maxk: int):
         """Deployment-mode variant (no teacher forcing): move each of the top-k

@@ -91,9 +91,14 @@ def anchor_target(
     )                                                               # [B, N, G]
     max_overlaps = overlaps.max(axis=2)                             # [B, N]
     argmax_overlaps = overlaps.argmax(axis=2)                       # [B, N]
-    gt_max = overlaps.max(axis=1)                                   # [B, G]
+    # The reference restricts the per-gt best-anchor search to INSIDE anchors
+    # (it computes overlaps only over the inside subset,
+    # anchor_target_layer.py:82-101): when a gt's globally-best anchor crosses
+    # the border, the best *inside* anchor must still be force-labeled positive.
+    overlaps_in = jnp.where(inside[None, :, None], overlaps, -1.0)
+    gt_max = overlaps_in.max(axis=1)                                # [B, G]
     gt_max = jnp.where(gt_max == 0, 1e-5, gt_max)
-    best_for_gt = (overlaps == gt_max[:, None, :]).sum(axis=2) > 0  # [B, N]
+    best_for_gt = (overlaps_in == gt_max[:, None, :]).sum(axis=2) > 0  # [B, N]
 
     labels = jnp.full((b, n), -1.0)
     if not clobber_positives:

@@ -10,6 +10,7 @@ with g++ on first use and cached next to the source; falls back gracefully
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -19,6 +20,12 @@ _LIB = None
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "native", "maskrle.cpp")
 _SO = os.path.join(os.path.dirname(_SRC), "libmaskrle.so")
+_HASH = _SO + ".srchash"
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build():
@@ -26,13 +33,25 @@ def _build():
         ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO], check=True,
         capture_output=True,
     )
+    with open(_HASH, "w") as f:
+        f.write(_src_hash())
+
+
+def _built_lib_is_current() -> bool:
+    # Reuse is gated on a content hash of the source, NOT mtimes — after a
+    # fresh clone mtimes are arbitrary and a stale .so could be dlopen'ed.
+    # (.so/.srchash are build artifacts, gitignored.)
+    if not os.path.exists(_SO) or not os.path.exists(_HASH):
+        return False
+    with open(_HASH) as f:
+        return f.read().strip() == _src_hash()
 
 
 def get_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not _built_lib_is_current():
         _build()
     lib = ctypes.CDLL(_SO)
     u32p = ctypes.POINTER(ctypes.c_uint32)

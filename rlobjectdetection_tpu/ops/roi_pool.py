@@ -39,10 +39,15 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, pooled_height: int = 7,
 
     def one_chunk(chunk_rois):
         bi = chunk_rois[:, 0].astype(jnp.int32)
-        rs_w = jnp.round(chunk_rois[:, 1] * spatial_scale).astype(jnp.int32)
-        rs_h = jnp.round(chunk_rois[:, 2] * spatial_scale).astype(jnp.int32)
-        re_w = jnp.round(chunk_rois[:, 3] * spatial_scale).astype(jnp.int32)
-        re_h = jnp.round(chunk_rois[:, 4] * spatial_scale).astype(jnp.int32)
+        # C round() is half-away-from-zero, not jnp.round's half-to-even: with
+        # scale 1/16, integer coords at odd multiples of 8 land exactly on .5
+        # and must quantize up like the CUDA kernel. Coords are >= 0 here, so
+        # floor(x + 0.5) reproduces it.
+        cround = lambda x: jnp.floor(x * spatial_scale + 0.5).astype(jnp.int32)
+        rs_w = cround(chunk_rois[:, 1])
+        rs_h = cround(chunk_rois[:, 2])
+        re_w = cround(chunk_rois[:, 3])
+        re_h = cround(chunk_rois[:, 4])
         roi_w = jnp.maximum(re_w - rs_w + 1, 1)
         roi_h = jnp.maximum(re_h - rs_h + 1, 1)
 

@@ -28,13 +28,17 @@ from tools.convert_torch_weights import convert_resnet, convert_vgg16, merge_pre
 
 
 class TorchBottleneck(tnn.Module):
+    """Mirrors the reference Bottleneck VERBATIM (faster_rcnn/resnet.py:66-102):
+    caffe flavor — stride on the 1×1 conv1, conv2 stride 1 (the '# change'
+    comments at resnet.py:71-73). NOT torchvision (which strides the 3×3)."""
+
     expansion = 4
 
     def __init__(self, inplanes, planes, stride=1, downsample=None):
         super().__init__()
-        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, stride=stride, bias=False)
         self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=1, padding=1, bias=False)
         self.bn2 = tnn.BatchNorm2d(planes)
         self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(planes * 4)
