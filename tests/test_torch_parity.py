@@ -203,6 +203,151 @@ def test_vgg_head_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
 
 
+def _make_res_layer(inplanes, planes, blocks, stride=1):
+    downsample = None
+    if stride != 1 or inplanes != planes * 4:
+        downsample = tnn.Sequential(
+            tnn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+            tnn.BatchNorm2d(planes * 4),
+        )
+    mods = [TorchBottleneck(inplanes, planes, stride, downsample)]
+    for _ in range(1, blocks):
+        mods.append(TorchBottleneck(planes * 4, planes))
+    return tnn.Sequential(*mods)
+
+
+class TorchRPN(tnn.Module):
+    """RPN head convs with the reference's names (rpn.py:28-36)."""
+
+    def __init__(self, din=1024, num_anchors=9):
+        super().__init__()
+        self.RPN_Conv = tnn.Conv2d(din, 512, 3, 1, 1, bias=True)
+        self.RPN_cls_score = tnn.Conv2d(512, num_anchors * 2, 1, 1, 0)
+        self.RPN_bbox_pred = tnn.Conv2d(512, num_anchors * 4, 1, 1, 0)
+
+    def forward(self, x):
+        h = torch.relu(self.RPN_Conv(x))
+        return self.RPN_cls_score(h), self.RPN_bbox_pred(h)
+
+
+class TorchDetector(tnn.Module):
+    """_fasterRCNN-shaped (resnet flavor) with the reference's state_dict key
+    layout: RCNN_base Sequential(conv1,bn1,relu,maxpool,layer1..3), RCNN_top
+    Sequential(layer4), RPN convs, cls/bbox Linears (resnet.py:229-247)."""
+
+    def __init__(self, n_classes=4, layers=(3, 4, 6, 3), num_anchors=9):
+        super().__init__()
+        b = TorchResNetBase(layers)
+        self.RCNN_base = tnn.Sequential(b.conv1, b.bn1, b.relu, b.maxpool,
+                                        b.layer1, b.layer2, b.layer3)
+        self.RCNN_top = tnn.Sequential(_make_res_layer(1024, 512, layers[3], stride=2))
+        self.RCNN_rpn = TorchRPN(1024, num_anchors)
+        self.RCNN_cls_score = tnn.Linear(2048, n_classes)
+        self.RCNN_bbox_pred = tnn.Linear(2048, 4 * n_classes)
+
+
+def test_full_detector_chain_parity(rng):
+    """Every converted parameter of a full reference-layout checkpoint is
+    exercised end-to-end: image → base → RPN conv maps, and (shared pooled
+    features) → layer4 head → cls/bbox logits. VERDICT r1 item 2."""
+    from tools.convert_torch_weights import convert_detector
+
+    n_classes = 4
+    tdet = TorchDetector(n_classes=n_classes)
+    _randomize_bn_stats(tdet, rng)
+    tdet.eval()
+    sd = {k: v.numpy() for k, v in tdet.state_dict().items()}
+    tree = convert_detector(sd, net="res50")
+
+    from rlobjectdetection_tpu.config import Config
+    from rlobjectdetection_tpu.models.faster_rcnn import FasterRCNN
+
+    import dataclasses
+    cfg = dataclasses.replace(Config(), DTYPE="float32")
+    model = FasterRCNN(num_classes=n_classes, backbone="resnet50", cfg=cfg)
+
+    def chain(m, img, pooled):
+        feat = m.base(img)
+        cls_map, bbox_map = m.rpn(feat)
+        fc7 = m.head(pooled)
+        return feat, cls_map, bbox_map, m.cls_score(fc7), m.bbox_pred(fc7)
+
+    img = rng.randn(1, 3, 96, 128).astype(np.float32)
+    pooled = (rng.randn(6, 7, 7, 1024) * 0.1).astype(np.float32)   # NHWC
+    img_nhwc = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, method=chain)
+    )(jax.random.PRNGKey(0), img_nhwc, jnp.asarray(pooled))
+    variables = {"params": merge_pretrained(variables["params"], tree)}
+
+    feat, cls_map, bbox_map, cls_logit, bbox_logit = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, method=chain)
+    )(variables, img_nhwc, jnp.asarray(pooled))
+
+    with torch.no_grad():
+        tfeat = tdet.RCNN_base(torch.tensor(img))
+        tcls_map, tbbox_map = tdet.RCNN_rpn(tfeat)
+        tfc7 = tdet.RCNN_top(torch.tensor(
+            np.transpose(pooled, (0, 3, 1, 2)))).mean(3).mean(2)
+        tcls = tdet.RCNN_cls_score(tfc7).numpy()
+        tbox = tdet.RCNN_bbox_pred(tfc7).numpy()
+
+    def nchw(x):
+        return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+    np.testing.assert_allclose(nchw(feat), tfeat.numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(nchw(cls_map), tcls_map.numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(nchw(bbox_map), tbbox_map.numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cls_logit), tcls, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bbox_logit), tbox, rtol=1e-3, atol=2e-3)
+
+
+def test_rl_net_conversion_parity(rng):
+    """RL policy checkpoint conversion: stride-1 layer4 + fc8/fc heads
+    (Reinforcement/resnet.py:105-125)."""
+    from tools.convert_torch_weights import convert_rl
+
+    class TorchRLNet(tnn.Module):
+        def __init__(self, num_acts=56, layers=(3, 4, 6, 3)):
+            super().__init__()
+            b = TorchResNetBase(layers)
+            self.conv1, self.bn1 = b.conv1, b.bn1
+            self.layer1, self.layer2, self.layer3 = b.layer1, b.layer2, b.layer3
+            self.layer4 = _make_res_layer(1024, 512, layers[3], stride=1)
+            self.fc8 = tnn.Linear(2048, 4096)
+            self.fc = tnn.Linear(4096, num_acts)
+
+    tnet = TorchRLNet()
+    _randomize_bn_stats(tnet, rng)
+    tnet.eval()
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    tree = convert_rl(sd)
+    assert set(tree) == {"base", "head", "fc8", "fc"}
+
+    from rlobjectdetection_tpu.models.rl.policy import RLPolicyNet
+
+    model = RLPolicyNet(num_acts=56, num_layers=50)
+
+    def head_chain(m, pooled):
+        h = m.head(pooled)
+        return m.fc(jax.nn.relu(m.fc8(h)))
+
+    pooled = (rng.randn(3, 7, 7, 1024) * 0.1).astype(np.float32)
+    variables = jax.jit(
+        lambda k, p: model.init(k, p, method=head_chain)
+    )(jax.random.PRNGKey(0), jnp.asarray(pooled))
+    variables = {"params": merge_pretrained(variables["params"], tree)}
+    got = jax.jit(
+        lambda v, p: model.apply(v, p, method=head_chain)
+    )(variables, jnp.asarray(pooled))
+
+    with torch.no_grad():
+        t = tnet.layer4(torch.tensor(np.transpose(pooled, (0, 3, 1, 2))))
+        t = t.mean(3).mean(2)
+        want = tnet.fc(torch.relu(tnet.fc8(t))).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-3)
+
+
 def test_conv1_s2d_equivalence(rng):
     """Space-to-depth stem (CONV1_S2D) matches the plain 7×7/2 conv exactly,
     including odd input sizes."""

@@ -97,6 +97,87 @@ def convert_resnet(sd, num_layers=101):
     return out
 
 
+def _linear(sd, prefix):
+    return {"kernel": dense_w(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _conv(sd, prefix):
+    out = {"kernel": conv_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_rpn(sd, prefix="RCNN_rpn."):
+    """RPN head convs (reference rpn.py:28-36) → RPNHead params.
+
+    Channel layouts carry over directly: the 2A cls channels stay [A bg, A fg]
+    and the 4A bbox channels stay A groups of (dx, dy, dw, dh) — our RPNHead
+    consumes NCHW-checkpoint channel order (models/rpn.py:13-15).
+    """
+    return {
+        "RPN_Conv": _conv(sd, prefix + "RPN_Conv"),
+        "RPN_cls_score": _conv(sd, prefix + "RPN_cls_score"),
+        "RPN_bbox_pred": _conv(sd, prefix + "RPN_bbox_pred"),
+    }
+
+
+def convert_detector(sd, net="res101"):
+    """Full reference detector checkpoint (the 'model' state_dict saved at
+    RCNN_bases/trainval_net.py:374-394) → complete FasterRCNN param tree:
+    backbone + RPN convs + RCNN_cls_score/RCNN_bbox_pred heads, so a
+    reference-trained .pth is evaluable here (test_net.py:169-172 flow).
+
+    Key layout (resnet.py:238-247 / vgg16.py:29-53):
+      RCNN_base.{0,1,4,5,6} → conv1, bn1, layer1..3     (resnet)
+      RCNN_base.{i}         → features.{i}              (vgg, indices unchanged)
+      RCNN_top.0 / RCNN_top.{0,3} → layer4 / fc6, fc7
+      RCNN_rpn.*, RCNN_cls_score, RCNN_bbox_pred → heads
+    """
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    if net == "vgg16":
+        remapped = {}
+        for k, v in sd.items():
+            if k.startswith("RCNN_base."):
+                remapped["features." + k[len("RCNN_base."):]] = v
+            elif k.startswith("RCNN_top."):
+                remapped["classifier." + k[len("RCNN_top."):]] = v
+        tree = convert_vgg16(remapped)
+    else:
+        num_layers = {"res50": 50, "res101": 101, "res152": 152}[net]
+        seq_map = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                   "6": "layer3"}
+        remapped = {}
+        for k, v in sd.items():
+            if k.startswith("RCNN_base."):
+                idx, rest = k[len("RCNN_base."):].split(".", 1)
+                remapped[f"{seq_map[idx]}.{rest}"] = v
+            elif k.startswith("RCNN_top.0."):
+                remapped["layer4." + k[len("RCNN_top.0."):]] = v
+        tree = convert_resnet(remapped, num_layers)
+
+    params = {"base": tree["base"], "rpn": convert_rpn(sd)}
+    if "head" in tree:
+        params["head"] = tree["head"]
+    if "RCNN_cls_score.weight" in sd:
+        params["RCNN_cls_score"] = _linear(sd, "RCNN_cls_score")
+        params["RCNN_bbox_pred"] = _linear(sd, "RCNN_bbox_pred")
+    return params
+
+
+def convert_rl(sd):
+    """Reference RL policy checkpoint (Reinforcement/resnet.py:105-125;
+    saved as {'epoch','state_dict'} at trainval_net.py:159-172) →
+    RLPolicyNet params: conv1..layer3 → base, layer4 → head, fc8/fc heads."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    tree = convert_resnet(sd, num_layers=101 if "layer3.22.conv1.weight" in sd
+                          else 50)
+    params = {"base": tree["base"], "head": tree["head"],
+              "fc8": _linear(sd, "fc8"), "fc": _linear(sd, "fc")}
+    return params
+
+
 def merge_pretrained(params, pretrained):
     """Graft pretrained subtrees into an initialized param tree where paths and
     shapes match (the strict=False load of the reference)."""
@@ -124,19 +205,24 @@ def merge_pretrained(params, pretrained):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--src", required=True, help=".pth state_dict")
-    p.add_argument("--net", required=True, choices=["vgg16", "res50", "res101", "res152"])
+    p.add_argument("--net", required=True, choices=["vgg16", "res50", "res101", "res152", "rl"])
     p.add_argument("--out", required=True, help="output orbax checkpoint dir")
     args = p.parse_args()
 
     import torch
 
     sd = torch.load(args.src, map_location="cpu")
-    if "model" in sd:
-        sd = sd["model"]
+    for wrap in ("model", "state_dict"):   # full detector / RL checkpoint dicts
+        if wrap in sd:
+            sd = sd[wrap]
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
-    if args.net == "vgg16":
-        tree = convert_vgg16(sd)
+    if args.net == "rl":
+        tree = convert_rl(sd)
+    elif any(k.startswith(("RCNN_base.", "module.RCNN_base.")) for k in sd):
+        tree = convert_detector(sd, args.net)   # trained detector checkpoint
+    elif args.net == "vgg16":
+        tree = convert_vgg16(sd)                # caffe-pretrained backbone
     else:
         layers = {"res50": 50, "res101": 101, "res152": 152}[args.net]
         tree = convert_resnet(sd, layers)
