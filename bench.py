@@ -62,6 +62,17 @@ def main():
     state = create_train_state(model, tx, batch)
     step = make_train_step(model, tx)
 
+    # XLA's own FLOP count for the whole train step → MFU against v5e bf16 peak
+    step_flops = None
+    try:
+        key0 = jax.random.PRNGKey(7)
+        cost = jax.jit(step).lower(state, batch, key0).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     key = jax.random.PRNGKey(7)
     # warmup / compile. Sync via a device-get of the loss: on the tunneled axon
     # platform block_until_ready returns early, but a value fetch cannot lie —
@@ -78,16 +89,18 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = batch_size * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_images_per_sec_per_chip_res101_coco800",
-                "value": round(img_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "train_images_per_sec_per_chip_res101_coco800",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
+    }
+    if step_flops:
+        V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
+        achieved = step_flops * iters / dt
+        out["tflops"] = round(achieved / 1e12, 1)
+        out["mfu"] = round(achieved / V5E_BF16_PEAK, 3)
+    print(json.dumps(out))
 
 
 def _gt(rng, b, g, h, w):

@@ -133,6 +133,23 @@ class COCO:
                 ann["area"] = bb[2] * bb[3]
                 ann["id"] = i + 1
                 ann["iscrowd"] = 0
+            elif "segmentation" in ann:
+                # segm results: area/bbox derived from the mask
+                # (reference coco.py:305-309)
+                from . import mask as maskUtils
+
+                rle = maskUtils.frPyObjects(ann["segmentation"], 0, 0) \
+                    if isinstance(ann["segmentation"], dict) else None
+                if rle is None:
+                    img = self.imgs[ann["image_id"]]
+                    rle = maskUtils.frPyObjects(
+                        ann["segmentation"], img["height"], img["width"])
+                    if isinstance(rle, list):
+                        rle = maskUtils.merge(rle)
+                ann["area"] = maskUtils.area(rle)
+                ann["bbox"] = maskUtils.toBbox(rle).tolist()
+                ann["id"] = i + 1
+                ann["iscrowd"] = 0
         res.dataset["annotations"] = anns
         res.createIndex(quiet=True)
         return res

@@ -1,10 +1,11 @@
-"""COCO detection evaluation (bbox mode).
+"""COCO detection evaluation (bbox + segm).
 
 Faithful numpy rebuild of the vendored COCOeval
 (/root/reference/lib/pycocotools/cocoeval.py: evaluate l.137, evaluateImg l.217,
-accumulate l.282, summarize l.385) restricted to iouType='bbox' — the only mode
-the reference exercises. Matching order, crowd/ignore semantics, the 101-point
-precision interpolation, and the 12 summary metrics are reproduced exactly.
+accumulate l.282, summarize l.385). Matching order, crowd/ignore semantics, the
+101-point precision interpolation, and the 12 summary metrics are reproduced
+exactly (oracle-tested against the reference module, tests/test_eval_oracle.py).
+iouType='segm' computes mask IoU through the native RLE core (data/mask.py).
 """
 
 from __future__ import annotations
@@ -35,10 +36,11 @@ class Params:
 
 class COCOeval:
     def __init__(self, cocoGt: COCO = None, cocoDt: COCO = None, iouType: str = "bbox"):
-        assert iouType == "bbox", "only bbox evaluation is supported/needed"
+        assert iouType in ("bbox", "segm"), iouType
         self.cocoGt = cocoGt
         self.cocoDt = cocoDt
         self.params = Params()
+        self.params.iouType = iouType
         self.evalImgs = defaultdict(list)
         self.eval = {}
         self._gts = defaultdict(list)
@@ -54,8 +56,10 @@ class COCOeval:
         gts = self.cocoGt.loadAnns(self.cocoGt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds if p.useCats else []))
         dts = self.cocoDt.loadAnns(self.cocoDt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds if p.useCats else []))
         for gt in gts:
-            gt["ignore"] = gt.get("ignore", 0)
-            gt["ignore"] = "iscrowd" in gt and gt["iscrowd"]
+            # an explicit ignore flag is honored IN ADDITION to crowd
+            # (reference evaluateImg, cocoeval.py:214-218)
+            gt["ignore"] = gt.get("ignore", 0) or (
+                "iscrowd" in gt and gt["iscrowd"])
         self._gts = defaultdict(list)
         self._dts = defaultdict(list)
         for gt in gts:
@@ -103,9 +107,15 @@ class COCOeval:
         dt = [dt[i] for i in inds]
         if len(dt) > p.maxDets[-1]:
             dt = dt[0:p.maxDets[-1]]
+        iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
+        if p.iouType == "segm":
+            from . import mask as maskUtils
+
+            g = [maskUtils.ann_to_rle(gg, self.cocoGt) for gg in gt]
+            d = [maskUtils.ann_to_rle(dd, self.cocoDt) for dd in dt]
+            return maskUtils.iou(d, g, iscrowd)
         g = np.array([gg["bbox"] for gg in gt]).reshape(-1, 4)
         d = np.array([dd["bbox"] for dd in dt]).reshape(-1, 4)
-        iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
         return iou_xywh(d, g, iscrowd)
 
     def evaluateImg(self, imgId, catId, aRng, maxDet):
@@ -311,11 +321,11 @@ class COCOeval:
         return stats
 
 
-def cocoval(ann_file: str, res_file: str):
+def cocoval(ann_file: str, res_file: str, iou_type: str = "bbox"):
     """End-to-end COCO eval of a detection json (Reinforcement/utils.py:77-87)."""
     coco = COCO(ann_file)
     cocoRes = coco.loadRes(res_file)
-    cocoEval = COCOeval(coco, cocoRes, iouType="bbox")
+    cocoEval = COCOeval(coco, cocoRes, iouType=iou_type)
     cocoEval.params.imgIds = cocoRes.getImgIds()
     cocoEval.evaluate()
     cocoEval.accumulate()

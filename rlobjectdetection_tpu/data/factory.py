@@ -41,8 +41,11 @@ def _register():
     try:
         from .vg import vg
 
-        for version in ["1600-400-20"]:
-            for split in ["minitrain", "train", "minival", "val", "test"]:
+        # all 6 vocabulary versions × 7 splits (reference factory.py:50-53)
+        for version in ["150-50-20", "150-50-50", "500-150-80", "750-250-150",
+                        "1750-700-450", "1600-400-20"]:
+            for split in ["minitrain", "smalltrain", "train", "minival",
+                          "smallval", "val", "test"]:
                 name = f"vg_{version}_{split}"
                 __sets[name] = (
                     lambda split=split, version=version: vg(version, split)

@@ -114,32 +114,33 @@ class RoiBatchLoader:
     def __len__(self):
         return self.num_batches
 
-    def _load_one(self, index: int, target_ratio: float):
+    def _load_one(self, index: int, target_ratio: float, rng):
         entry = self.roidb[index]
         im = read_image_bgr(entry["image"])
         if entry.get("flipped", False):
             im = im[:, ::-1, :]
-        scale = self.scales[self.rng.randint(0, len(self.scales))]
+        scale = self.scales[rng.randint(0, len(self.scales))]
         im, im_scale = prep_im_for_blob(im, PIXEL_MEANS_BGR, scale)
 
         gt_inds = np.where(entry["gt_classes"] != 0)[0]
         gt_boxes = np.zeros((len(gt_inds), 5), dtype=np.float32)
         gt_boxes[:, :4] = entry["boxes"][gt_inds, :].astype(np.float32) * im_scale
         gt_boxes[:, 4] = entry["gt_classes"][gt_inds]
-        self.rng.shuffle(gt_boxes)
+        rng.shuffle(gt_boxes)
 
         if self.training and entry.get("need_crop", 0):
-            im, gt_boxes = _crop_to_ratio(im, gt_boxes, target_ratio, self.rng)
+            im, gt_boxes = _crop_to_ratio(im, gt_boxes, target_ratio, rng)
 
         # drop degenerate boxes after crop (roibatchLoader.py:189-191)
         keep = (gt_boxes[:, 0] != gt_boxes[:, 2]) & (gt_boxes[:, 1] != gt_boxes[:, 3])
         gt_boxes = gt_boxes[keep]
         return im, gt_boxes, im_scale
 
-    def _assemble(self, indices, target_ratio: float) -> DetectionBatch:
+    def _assemble(self, indices, target_ratio: float, rng=None) -> DetectionBatch:
+        rng = rng if rng is not None else self.rng
         ims, gts, scales = [], [], []
         for idx in indices:
-            im, gt, s = self._load_one(idx, target_ratio)
+            im, gt, s = self._load_one(idx, target_ratio, rng)
             ims.append(im)
             gts.append(gt)
             scales.append(s)
@@ -156,16 +157,30 @@ class RoiBatchLoader:
             data=blob, im_info=im_info, gt_boxes=gt_pad, num_boxes=num
         )
 
-    def __iter__(self) -> Iterator[DetectionBatch]:
+    def batch_plan(self):
+        """One epoch's worth of (indices, target_ratio, batch_seed) descriptors.
+
+        Deriving a fresh RandomState per batch (rather than threading one
+        sequential stream through every decode) makes batches independent —
+        the prerequisite for the async multi-worker pipeline (data/prefetch.py)
+        producing bit-identical batches in any completion order.
+        """
         n = len(self.roidb)
+        plan = []
         if self.training:
             # the reference sampler (RCNN_bases/trainval_net.py:123-146): random
             # permutation of whole batches over the ratio-sorted index
             starts = self.rng.permutation(self.num_batches) * self.batch_size
             for s in starts:
                 idxs = [int(self.ratio_index[i]) for i in range(s, s + self.batch_size)]
-                yield self._assemble(idxs, float(self.batch_ratios[s]))
+                plan.append((idxs, float(self.batch_ratios[s]),
+                             int(self.rng.randint(0, 2 ** 31))))
         else:
             for s in range(0, n, self.batch_size):
                 idxs = list(range(s, min(s + self.batch_size, n)))
-                yield self._assemble(idxs, 1.0)
+                plan.append((idxs, 1.0, int(self.rng.randint(0, 2 ** 31))))
+        return plan
+
+    def __iter__(self) -> Iterator[DetectionBatch]:
+        for idxs, ratio, seed in self.batch_plan():
+            yield self._assemble(idxs, ratio, np.random.RandomState(seed))

@@ -1,0 +1,77 @@
+"""Async input pipeline: multi-worker batch assembly + device-put prefetch.
+
+The reference hides its host-side decode cost behind 6-25 torch DataLoader
+worker PROCESSES (RCNN_bases/trainval_net.py:217, trainval_net.py:88). Here the
+decode/resize hot path (PIL decode, cv2 resize) releases the GIL, so a THREAD
+pool gets the same overlap without pickling the roidb into worker processes;
+`RoiBatchLoader.batch_plan()` makes each batch an independent (indices, ratio,
+seed) job, so completion order cannot change the data.
+
+`device_prefetch` then keeps >= `depth` batches already transferred (and
+sharded) ahead of the consumer — the double-buffered device-put of
+SURVEY.md §7 — so H2D rides under the previous step's compute.
+"""
+
+from __future__ import annotations
+
+import collections
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+
+class AsyncLoader:
+    """Wraps RoiBatchLoader: assembles up to `num_workers` batches concurrently,
+    keeps `prefetch` finished batches queued, yields in plan order."""
+
+    def __init__(self, loader, num_workers: int = 4, prefetch: int = 2):
+        self.loader = loader
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator:
+        plan = self.loader.batch_plan()
+        if not plan:
+            return
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            inflight = collections.deque()
+            it = iter(plan)
+
+            def submit(job):
+                idxs, ratio, seed = job
+                return pool.submit(self.loader._assemble, idxs, ratio,
+                                   np.random.RandomState(seed))
+
+            for _ in range(self.num_workers + self.prefetch):
+                job = next(it, None)
+                if job is None:
+                    break
+                inflight.append(submit(job))
+            while inflight:
+                batch = inflight.popleft().result()
+                job = next(it, None)
+                if job is not None:
+                    inflight.append(submit(job))
+                yield batch
+
+
+def device_prefetch(batches, put_fn, depth: int = 2):
+    """Generator: apply `put_fn` (e.g. a sharded device_put) to batches `depth`
+    ahead of the consumer. jax dispatch is async, so the transfer of batch
+    i+depth overlaps the device compute of batch i."""
+    queue = collections.deque()
+    it = iter(batches)
+    for _ in range(depth):
+        b = next(it, None)
+        if b is None:
+            break
+        queue.append(put_fn(b))
+    while queue:
+        nxt = next(it, None)
+        if nxt is not None:
+            queue.append(put_fn(nxt))
+        yield queue.popleft()

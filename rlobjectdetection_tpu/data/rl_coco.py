@@ -29,33 +29,11 @@ from PIL import Image
 from .coco_api import COCO, iou_xywh
 
 
-def get_weights_statistics(imgIds, catIds, dt_boxes, gt_boxes, bbox_action,
-                           shuffle: bool = True, maxDets: int = 5000,
-                           num_workers: int = 0):
-    """Dataset-wide pos/neg label count + wtrans weight mass.
-
-    Re-specified from its call site (RL_coco_dataset.py:61-69): returns
-    (pos_tot, neg_tot, pos_weights, neg_weights) where *_tot are label counts
-    and *_weights are sums of wtrans(ΔIoU) over those labels. `maxDets` caps
-    the number of detections sampled (after optional shuffle) purely to bound
-    the startup cost.
-    """
-    pairs = [
-        (img_id, cat_id) for img_id in imgIds for cat_id in catIds
-        if (img_id, cat_id) in dt_boxes or dt_boxes[img_id, cat_id]
-    ]
-    rng = np.random.RandomState(3)
-    flat = []
-    for key in pairs:
-        for dt in dt_boxes[key]:
-            flat.append((key, dt))
-    if shuffle:
-        rng.shuffle(flat)
-    flat = flat[:maxDets]
-
+def _stat_chunk(chunk, gt_boxes, bbox_action):
+    """Partial (pos_tot, neg_tot, pos_w, neg_w) over a chunk of detections."""
     pos_tot = neg_tot = 0
     pos_weights = neg_weights = 0.0
-    for (img_id, cat_id), dt in flat:
+    for (img_id, cat_id), dt in chunk:
         gts = gt_boxes[img_id, cat_id]
         gtb = [g["bbox"] for g in gts] or [[0, 0, 0, 0]]
         iscrowd = [int(g.get("iscrowd", 0)) for g in gts] or [0]
@@ -71,8 +49,48 @@ def get_weights_statistics(imgIds, catIds, dt_boxes, gt_boxes, bbox_action,
         neg_tot += int((~pos).sum())
         pos_weights += float(wts[pos].sum())
         neg_weights += float(wts[~pos].sum())
-    pos_weights = max(pos_weights, 1e-8)
-    neg_weights = max(neg_weights, 1e-8)
+    return pos_tot, neg_tot, pos_weights, neg_weights
+
+
+def get_weights_statistics(imgIds, catIds, dt_boxes, gt_boxes, bbox_action,
+                           shuffle: bool = True, maxDets: int | None = None,
+                           num_workers: int = 0):
+    """Dataset-wide pos/neg label count + wtrans weight mass.
+
+    Re-specified from its call site (RL_coco_dataset.py:61-69): returns
+    (pos_tot, neg_tot, pos_weights, neg_weights) where *_tot are label counts
+    and *_weights are sums of wtrans(ΔIoU) over those labels.
+
+    By default this is a FULL pass over every detection — the reference's
+    statistic (it ran this with 32 processes, trainval_net.py:61-66).
+    `maxDets` optionally subsamples to bound startup cost; that CHANGES the
+    statistic (a uniform sample of the pos/neg mass) and is off by default.
+    `num_workers` > 1 splits the pass across threads (the IoU math is numpy,
+    which releases the GIL); the result is identical for any worker count.
+    """
+    rng = np.random.RandomState(3)
+    flat = [(key, dt) for key in
+            ((img_id, cat_id) for img_id in imgIds for cat_id in catIds)
+            for dt in dt_boxes[key]]
+    if shuffle:
+        rng.shuffle(flat)
+    if maxDets is not None:
+        flat = flat[:maxDets]
+
+    if num_workers and num_workers > 1 and len(flat) > 64:
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [flat[i::num_workers] for i in range(num_workers)]
+        with ThreadPoolExecutor(num_workers) as pool:
+            parts = list(pool.map(
+                lambda c: _stat_chunk(c, gt_boxes, bbox_action), chunks))
+    else:
+        parts = [_stat_chunk(flat, gt_boxes, bbox_action)]
+
+    pos_tot = sum(p[0] for p in parts)
+    neg_tot = sum(p[1] for p in parts)
+    pos_weights = max(sum(p[2] for p in parts), 1e-8)
+    neg_weights = max(sum(p[3] for p in parts), 1e-8)
     return pos_tot, neg_tot, pos_weights, neg_weights
 
 
@@ -114,7 +132,7 @@ class COCODataset:
 
     def __init__(self, root_dir, ann_file, dt_file, bbox_action,
                  transform_fn=None, normalize_mean=None, normalize_std=None,
-                 max_stat_dets: int = 5000):
+                 max_stat_dets: int | None = None, stat_workers: int = 0):
         self.root_dir = root_dir
         self.transform_fn = transform_fn
         self.normalize_mean = (
@@ -145,6 +163,7 @@ class COCODataset:
             get_weights_statistics(
                 self.imgIds, self.catIds, self.dt_boxes, self.gt_boxes,
                 bbox_action, shuffle=True, maxDets=max_stat_dets,
+                num_workers=stat_workers,
             )
         )
         self.pos_wratio = (self.pos_tot + self.neg_tot) / self.pos_weights / 2.0

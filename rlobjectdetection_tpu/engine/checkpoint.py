@@ -23,6 +23,19 @@ def _ocp():
     return ocp
 
 
+def _to_local(tree):
+    """Make a multi-host-replicated tree saveable from a single process: a
+    replicated global array's local shard IS the full value. (Train-state
+    params/opt_state are always replicated here — parallel/mesh.py.)"""
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def save_checkpoint(path: str, state, *, session: int = 1, epoch: int = 0,
                     pooling_mode: str = "align", class_agnostic: bool = False,
                     extra: dict | None = None):
@@ -33,9 +46,9 @@ def save_checkpoint(path: str, state, *, session: int = 1, epoch: int = 0,
     ocp = _ocp()
     path = os.path.abspath(path)
     payload = {
-        "params": state.params,
-        "opt_state": state.opt_state,
-        "step": np.asarray(state.step),
+        "params": _to_local(state.params),
+        "opt_state": _to_local(state.opt_state),
+        "step": np.asarray(_to_local(state.step)),
     }
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)

@@ -198,6 +198,12 @@ class ResNetBase(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     conv1_s2d: bool = False
+    # RESNET.FIXED_BLOCKS: stages layer1..layerN are frozen (conv1/bn1 always).
+    # Cutting the gradient at the frozen-prefix boundary lets XLA delete the
+    # whole backward through those stages — the same pruning torch autograd
+    # does for requires_grad=False (resnet.py:250-259). layer1 runs at the
+    # largest spatial dims, so this is a real chunk of backward FLOPs.
+    frozen_stages: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -211,9 +217,17 @@ class ResNetBase(nn.Module):
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = ceil_max_pool(x)
+        if self.frozen_stages == 0:
+            x = lax.stop_gradient(x)
         x = layer(64, specs[0], 1, self.dtype, name="layer1")(x)
+        if self.frozen_stages == 1:
+            x = lax.stop_gradient(x)
         x = layer(128, specs[1], 2, self.dtype, name="layer2")(x)
+        if self.frozen_stages == 2:
+            x = lax.stop_gradient(x)
         x = layer(256, specs[2], 2, self.dtype, name="layer3")(x)
+        if self.frozen_stages >= 3:
+            x = lax.stop_gradient(x)
         return x
 
 

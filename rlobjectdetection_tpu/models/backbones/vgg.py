@@ -22,12 +22,20 @@ VGG16_CFG = ((1, 2, 64), (2, 2, 128), (3, 3, 256), (4, 3, 512), (5, 3, 512))
 
 
 class VGGBase(nn.Module):
-    """conv1_1 .. conv5_3 (no pool5) → [B, H/16, W/16, 512]."""
+    """conv1_1 .. conv5_3 (no pool5) → [B, H/16, W/16, 512].
+
+    Blocks 1..frozen_blocks are frozen upstream (vgg16.py:41-42 freezes
+    features[:10] = blocks 1-2); cutting the gradient at that boundary lets
+    XLA delete their backward, as torch autograd does for requires_grad=False.
+    """
 
     dtype: Any = jnp.float32
+    frozen_blocks: int = 2
 
     @nn.compact
     def __call__(self, x):
+        from jax import lax
+
         for block, n_convs, ch in VGG16_CFG:
             if block > 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -35,6 +43,8 @@ class VGGBase(nn.Module):
                 x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                             name=f"conv{block}_{i}")(x)
                 x = nn.relu(x)
+            if block == self.frozen_blocks:
+                x = lax.stop_gradient(x)
         return x
 
 

@@ -81,7 +81,8 @@ class FasterRCNN(nn.Module):
         elif self.backbone.startswith("resnet"):
             layers = int(self.backbone[len("resnet"):])
             self.base = ResNetBase(num_layers=layers, dtype=dtype, remat=self.cfg.REMAT,
-                                   conv1_s2d=self.cfg.CONV1_S2D)
+                                   conv1_s2d=self.cfg.CONV1_S2D,
+                                   frozen_stages=self.cfg.RESNET.FIXED_BLOCKS)
             self.head = ResNetHead(num_layers=layers, dtype=dtype)
             self.dout_base = 1024
         else:
@@ -108,9 +109,18 @@ class FasterRCNN(nn.Module):
         mode = c.POOLING_MODE
         if mode == "align":
             # autodiff: ~4% faster steps at bs2; cvjp (sorted-scatter backward,
-            # ops/roi_align_vjp.py) compiles minutes faster — selectable
-            align = roi_align_avg if c.ALIGN_IMPL == "autodiff" else roi_align_avg_cvjp
-            pooled = align(base_feat, rois_flat, c.POOLING_SIZE, 1.0 / 16.0)
+            # ops/roi_align_vjp.py) compiles minutes faster; pallas (fused
+            # MXU-matmul forward, ops/roi_align_pallas.py) measured 3.1 vs
+            # 2.4 ms at bench shapes — kept opt-in, see DESIGN.md
+            if c.ALIGN_IMPL == "pallas":
+                from ..ops.roi_align_pallas import roi_align_avg_pallas
+
+                rpi = rois_flat.shape[0] // base_feat.shape[0]
+                pooled = roi_align_avg_pallas(base_feat, rois_flat,
+                                              c.POOLING_SIZE, 1.0 / 16.0, rpi)
+            else:
+                align = roi_align_avg if c.ALIGN_IMPL == "autodiff" else roi_align_avg_cvjp
+                pooled = align(base_feat, rois_flat, c.POOLING_SIZE, 1.0 / 16.0)
         elif mode == "pool":
             pooled = roi_pool(base_feat, rois_flat, c.POOLING_SIZE, c.POOLING_SIZE, 1.0 / 16.0)
         elif mode == "crop":

@@ -29,7 +29,11 @@ class RLPolicyNet(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype)
+        # conv1..layer3 are frozen (Reinforcement/resnet.py:139-147):
+        # frozen_stages=3 cuts the gradient at the C4 boundary so XLA deletes
+        # the entire backbone backward, as torch autograd does upstream.
+        self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype,
+                               frozen_stages=3)
         self.head = ResNetHead(num_layers=self.num_layers, dtype=self.dtype,
                                stride=1)   # stride-1 layer4 (l.120)
         self.fc8 = nn.Dense(4096, dtype=self.dtype, name="fc8")

@@ -89,14 +89,6 @@ def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
     return kept[:n]
 
 
-def _use_pallas(impl: str) -> bool:
-    # "auto" currently resolves to the XLA scan implementation: the Pallas
-    # kernel (ops/nms_pallas.py) is numerically exact but its Mosaic compile
-    # time is prohibitive in its current nested-loop form; it stays opt-in
-    # (impl="pallas") until the grid-based variant lands.
-    return impl == "pallas"
-
-
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         valid: jnp.ndarray | None = None, tile_size: int = 256,
         impl: str = "auto"):
@@ -105,8 +97,12 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     Returns (order, keep): `order` [N] indices sorting by descending score,
     `keep` [N] bool aligned to that order. Equivalent keep *set* to the
     reference `nms(dets, thresh)` (nms_wrapper.py:11), expressed fixed-shape.
-    `impl` selects the suppression backend: the single-kernel Pallas version
-    (ops/nms_pallas.py) on TPU, the lax.scan version elsewhere.
+    The XLA tiled-scan suppression is the final design: two Pallas variants
+    were built and measured in round 1 (single-kernel: >10 min Mosaic compile;
+    grid-per-tile: 22.3 ms vs the scan's 4.0 ms at N=12288) and retired —
+    exact greedy NMS is 9% of the train step and the scan already saturates
+    it (DESIGN.md "NMS: sorted tiled suppression"). `impl` is kept for API
+    stability; every value resolves to the scan.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -115,13 +111,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order = jnp.argsort(-skey)
     sboxes = jnp.take(boxes, order, axis=0)
     svalid = jnp.take(valid, order, axis=0)
-    if _use_pallas(impl):
-        from .nms_pallas import nms_sorted_mask_pallas
-
-        keep = nms_sorted_mask_pallas(sboxes, svalid, iou_threshold,
-                                      tile_size=tile_size)
-    else:
-        keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size)
+    keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size)
     return order, keep
 
 

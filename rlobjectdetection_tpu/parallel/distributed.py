@@ -62,3 +62,37 @@ def make_global_array(mesh, local_arrays, axis: str = "data"):
 
     sharding = NamedSharding(mesh, P(axis))
     return jax.make_array_from_process_local_data(sharding, local_arrays)
+
+
+def fetch_scalar(x) -> float:
+    """float(x) that also works on multi-host replicated outputs (which are
+    not fully addressable, so plain float() would raise)."""
+    import jax
+    import numpy as np
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return float(np.asarray(x.addressable_data(0)))
+    return float(x)
+
+
+def shard_global_batch(mesh, batch: dict, axis: str = "data") -> dict:
+    """Shard a GLOBAL batch over a (possibly multi-host) mesh.
+
+    Every host materializes the same global batch (the loaders are seeded
+    identically); each contributes only its own slice of the leading dim.
+    Single-process falls back to a plain sharded device_put.
+    """
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        from .mesh import shard_batch
+
+        return shard_batch(mesh, batch, axis)
+
+    def one(x):
+        x = np.asarray(x)
+        start, size = host_local_batch_slice(x.shape[0])
+        return make_global_array(mesh, x[start:start + size], axis)
+
+    return jax.tree_util.tree_map(one, batch)

@@ -93,6 +93,16 @@ class MetricsWriter:
         if self._writer:
             self._writer.add_histogram(tag, values, step)
 
+    def image_summary(self, tag: str, images, step: int):
+        """[N, H, W, C] uint8/float images (reference logger.py:22-39)."""
+        if self._writer:
+            import numpy as np
+
+            for i, img in enumerate(images):
+                img = np.asarray(img)
+                self._writer.add_image(f"{tag}/{i}", img, step,
+                                       dataformats="HWC" if img.ndim == 3 else "HW")
+
     def close(self):
         if self._writer:
             self._writer.close()

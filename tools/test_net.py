@@ -27,9 +27,11 @@ def parse_args():
     p.add_argument("--load_dir", default="models")
     p.add_argument("--ls", dest="large_scale", action="store_true")
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
-    p.add_argument("--s", dest="session", default=1, type=int)
+    p.add_argument("--s", "--checksession", dest="session", default=1, type=int)
     p.add_argument("--checkepoch", default=1, type=int)
     p.add_argument("--vis", action="store_true")
+    p.add_argument("--vis_max", default=0, type=int,
+                   help="cap on --vis overlays (0 = all images, like the reference)")
     return p.parse_args()
 
 
@@ -122,7 +124,7 @@ def main():
         jax.block_until_ready(boxes)
         t_det += time.time() - t0
         dets.append((boxes, scores, classes, valid))
-        if args.vis and i < 20:
+        if args.vis and (args.vis_max <= 0 or i < args.vis_max):
             _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid)
         if i % 100 == 0:
             print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")

@@ -45,6 +45,15 @@ def parse_args():
     p.add_argument("--pooling_mode", default=None)
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of the first N steps into logs/trace")
+    p.add_argument("--nw", dest="num_workers", default=4, type=int,
+                   help="decode worker threads (reference --nw, trainval_net.py:88); 0 = synchronous")
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip optimizer updates whose gradients contain NaN/Inf")
+    # multi-host (jax.distributed): pass all three, or rely on SLURM env vars
+    p.add_argument("--dist_coordinator", default=None,
+                   help="coordinator address host:port for jax.distributed")
+    p.add_argument("--dist_nprocs", default=None, type=int)
+    p.add_argument("--dist_rank", default=None, type=int)
     return p.parse_args()
 
 
@@ -60,7 +69,16 @@ DATASET_MAP = {
 def main():
     from tools._env import setup_platform
 
+    args = parse_args()
     setup_platform()
+
+    # must run before any other jax use: joins this process into the global
+    # runtime so jax.devices() spans all hosts (SURVEY.md §2.6 TPU-native
+    # multi-node; DCN mesh extension of the same SPMD step)
+    from rlobjectdetection_tpu.parallel import distributed
+
+    distributed.initialize(args.dist_coordinator, args.dist_nprocs, args.dist_rank)
+
     import jax
     import jax.numpy as jnp
 
@@ -73,10 +91,10 @@ def main():
     )
     from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
     from rlobjectdetection_tpu.models import FasterRCNN
-    from rlobjectdetection_tpu.parallel import make_mesh, replicate, shard_batch
+    from rlobjectdetection_tpu.parallel import make_mesh, replicate
+    from rlobjectdetection_tpu.parallel.distributed import fetch_scalar, shard_global_batch
     from rlobjectdetection_tpu.utils import AveMeter, MetricsWriter, init_log
 
-    args = parse_args()
     log = init_log("train")
 
     cfg = Config()
@@ -120,10 +138,20 @@ def main():
     tx = None
 
     # data-parallel mesh over as many devices as evenly divide the batch
-    import jax as _jax
-    n_dev = math.gcd(args.batch_size, len(_jax.devices()))
+    n_host = jax.process_count()
+    n_avail = len(jax.devices())
+    n_dev = math.gcd(args.batch_size, n_avail)
+    if n_host > 1 and n_dev != n_avail:
+        raise SystemExit(
+            f"multi-host run needs --bs divisible by the {n_avail} global "
+            f"devices (got bs={args.batch_size})")
+    if n_dev < n_avail:
+        log.warning(
+            f"batch size {args.batch_size} only divides {n_dev} of the "
+            f"{n_avail} available devices — training on {n_dev} device(s); "
+            f"raise --bs to a multiple of {n_avail} to use the whole mesh")
     mesh = make_mesh(n_dev)
-    log.info(f"data-parallel over {n_dev} device(s)")
+    log.info(f"data-parallel over {n_dev} device(s), {n_host} host(s)")
     with mesh:
         key = jax.random.PRNGKey(cfg.RNG_SEED)
         variables = jax.jit(model.init, static_argnames="train")(
@@ -166,7 +194,7 @@ def main():
             params=replicate(mesh, state.params),
             opt_state=replicate(mesh, state.opt_state),
         )
-        step_fn = make_train_step(model, tx)
+        step_fn = make_train_step(model, tx, skip_nonfinite=args.skip_nonfinite)
         writer = MetricsWriter("logs") if args.use_tfb else None
 
         if args.profile:
@@ -177,10 +205,16 @@ def main():
         meters = {k: AveMeter() for k in
                   ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box")}
         global_step = int(state.step)
+        from rlobjectdetection_tpu.data.prefetch import AsyncLoader, device_prefetch
+
+        def put(b):
+            return shard_global_batch(mesh, {k: np.asarray(v) for k, v in b.items()})
+
         for epoch in range(args.start_epoch, args.epochs + 1):
             start = time.time()
-            for it, batch in enumerate(loader):
-                sharded = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+            epoch_loader = (AsyncLoader(loader, args.num_workers)
+                            if args.num_workers > 0 else loader)
+            for it, sharded in enumerate(device_prefetch(epoch_loader, put)):
                 state, metrics = step_fn(
                     state, sharded, jax.random.fold_in(step_key, global_step)
                 )
@@ -192,7 +226,7 @@ def main():
                     stop_profiler_trace()
                     log.info("profiler trace written to logs/trace")
                 if it % args.disp_interval == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    m = {k: fetch_scalar(v) for k, v in metrics.items()}
                     for k in meters:
                         meters[k].update(m[k])
                     lr_now = sched(global_step)
@@ -207,11 +241,12 @@ def main():
                         for k, v in m.items():
                             writer.scalar_summary(k, v, global_step)
             ckpt = os.path.join(ckpt_dir, f"faster_rcnn_{args.session}_{epoch}")
-            save_checkpoint(
-                ckpt, state, session=args.session, epoch=epoch,
-                pooling_mode=cfg.POOLING_MODE, class_agnostic=args.class_agnostic,
-            )
-            log.info(f"save model: {ckpt} (epoch time {time.time() - start:.1f}s)")
+            if jax.process_index() == 0:
+                save_checkpoint(
+                    ckpt, state, session=args.session, epoch=epoch,
+                    pooling_mode=cfg.POOLING_MODE, class_agnostic=args.class_agnostic,
+                )
+                log.info(f"save model: {ckpt} (epoch time {time.time() - start:.1f}s)")
 
 
 if __name__ == "__main__":

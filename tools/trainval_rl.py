@@ -36,6 +36,10 @@ def parse_args():
                    help="override train/test short side (config.py train_img_short)")
     p.add_argument("--img_size", default=None, type=int,
                    help="override max size (config.py train_img_size)")
+    p.add_argument("--max_stat_dets", default=None, type=int,
+                   help="subsample the pos/neg weight statistic (default: full pass, the reference semantics)")
+    p.add_argument("--stat_workers", default=8, type=int,
+                   help="threads for the weight statistic (reference used 32 processes)")
     p.add_argument("--layers", default=101, type=int,
                    help="policy-net ResNet depth (reference fixes 101)")
     return p.parse_args()
@@ -86,6 +90,7 @@ def main():
         cfg.data_dir, cfg.ann_file, cfg.dt_file, action,
         transform_fn=transform,
         normalize_mean=cfg.normalize_mean, normalize_std=cfg.normalize_std,
+        max_stat_dets=args.max_stat_dets, stat_workers=args.stat_workers,
     )
     loader = COCODataLoader(dataset, args.batch_size, shuffle=(phase == "train"))
     log.info(f"dataset: {len(dataset)} images")
