@@ -1,14 +1,13 @@
-"""Minimal COCO annotation API (bbox mode).
+"""COCO annotation API.
 
-Self-contained rebuild of the parts of the vendored pycocotools
-(/root/reference/lib/pycocotools/coco.py, mask.py) that the reference actually
-exercises: annotation indexing (COCO.__init__/createIndex/getAnnIds/getCatIds/
-getImgIds/loadAnns/loadCats/loadImgs), detection-result loading (loadRes,
-coco.py:287-325), and bbox IoU with the crowd rule (mask.iou with iscrowd —
-maskApi.c bbIou). Only iouType='bbox' is implemented: that is the only mode the
-reference exercises (RL labeler RL_coco_dataset.py:119 passes boxes; detector
-eval uses bbox COCOeval). RLE mask ops live in native/maskrle.cpp for parity
-with the vendored maskApi.c.
+Self-contained rebuild of the vendored pycocotools COCO class
+(/root/reference/lib/pycocotools/coco.py): annotation indexing
+(createIndex/getAnnIds/getCatIds/getImgIds/loadAnns/loadCats/loadImgs/info),
+detection- AND segmentation-result loading (loadRes, coco.py:287-325),
+annToRLE/annToMask, showAnns, download, and bbox IoU with the crowd rule
+(mask.iou with iscrowd — maskApi.c bbIou). RLE mask ops live in
+native/maskrle.cpp (+ data/mask.py wrapper) for parity with the vendored
+maskApi.c; segm COCOeval rides on them (data/coco_eval.py).
 """
 
 from __future__ import annotations
@@ -153,6 +152,69 @@ class COCO:
         res.dataset["annotations"] = anns
         res.createIndex(quiet=True)
         return res
+
+    def info(self):
+        """Print the dataset info block (coco.py:128-134)."""
+        for key, value in self.dataset.get("info", {}).items():
+            print(f"{key}: {value}")
+
+    def annToRLE(self, ann):
+        """An annotation's segmentation → RLE (any COCO encoding)."""
+        from . import mask as maskUtils
+
+        return maskUtils.ann_to_rle(ann, self)
+
+    def annToMask(self, ann):
+        """An annotation's segmentation → binary [H, W] mask."""
+        from . import mask as maskUtils
+        from .. import native
+
+        return native.decode(self.annToRLE(ann))
+
+    def showAnns(self, anns):
+        """Draw polygon/RLE segmentations and bboxes onto the current
+        matplotlib axes (coco.py:241-286); no-ops if matplotlib is absent."""
+        if not anns:
+            return
+        try:
+            import matplotlib.pyplot as plt
+            from matplotlib.collections import PatchCollection
+            from matplotlib.patches import Polygon, Rectangle
+        except ImportError:
+            return
+        ax = plt.gca()
+        polygons, colors = [], []
+        rng = np.random.RandomState(0)
+        for ann in anns:
+            c = rng.rand(3) * 0.6 + 0.4
+            seg = ann.get("segmentation")
+            if isinstance(seg, list):
+                for poly in seg:
+                    pts = np.asarray(poly).reshape(-1, 2)
+                    polygons.append(Polygon(pts, closed=True))
+                    colors.append(c)
+            elif "bbox" in ann:
+                x, y, w, h = ann["bbox"]
+                ax.add_patch(Rectangle((x, y), w, h, fill=False, color=c))
+        if polygons:
+            ax.add_collection(
+                PatchCollection(polygons, facecolor=colors, alpha=0.4))
+
+    def download(self, tarDir=None, imgIds=None):
+        """Fetch images by coco_url into tarDir (coco.py:335-353)."""
+        import os
+        import urllib.request
+
+        imgs = self.loadImgs(_as_list(imgIds)) if imgIds else list(self.imgs.values())
+        if tarDir is None:
+            raise ValueError("please specify target directory")
+        os.makedirs(tarDir, exist_ok=True)
+        for i, img in enumerate(imgs):
+            tic = time.time()
+            fname = os.path.join(tarDir, img["file_name"])
+            if not os.path.exists(fname):
+                urllib.request.urlretrieve(img["coco_url"], fname)
+            print(f"downloaded {i}/{len(imgs)} images (t={time.time() - tic:.1f}s)")
 
     def loadNumpyAnnotations(self, data):
         assert data.shape[1] == 7
