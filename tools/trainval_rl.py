@@ -185,32 +185,58 @@ def main():
     max_epoch = args.epochs or cfg.train_max_epoch
     from rlobjectdetection_tpu.engine.train import TrainState
 
-    for epoch in range(start_epoch, max_epoch):
-        batch_time, data_time, losses = AveMeter(), AveMeter(), AveMeter()
-        end = time.time()
-        for it, batch in enumerate(loader):
-            data_time.update(time.time() - end)
-            mask = (np.arange(batch["bboxes"].shape[1])[None, :]
-                    < batch["num_dts"][:, None])
-            weights = batch["labels"][..., 2] * mask[..., None]
-            params, opt_state, loss, noweight = train_step(
-                params, opt_state,
-                jnp.asarray(batch["data"]), jnp.asarray(batch["bboxes"]),
-                jnp.asarray(batch["labels"][..., 1]), jnp.asarray(weights),
-            )
-            losses.update(float(loss))
-            batch_time.update(time.time() - end)
+    # data-parallel mesh, like the reference's DataParallel wrap of the RL net
+    # (trainval_net.py:117-118) — batch sharded, params replicated, psum by XLA
+    import math
+
+    from rlobjectdetection_tpu.parallel import make_mesh, replicate, shard_batch
+
+    n_avail = len(jax.devices())
+    n_dev = math.gcd(args.batch_size, n_avail)
+    if n_dev < n_avail:
+        log.warning(f"batch size {args.batch_size} only divides {n_dev} of "
+                    f"{n_avail} devices — training on {n_dev}")
+    mesh = make_mesh(n_dev)
+    log.info(f"data-parallel over {n_dev} device(s)")
+    with mesh:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        for epoch in range(start_epoch, max_epoch):
+            batch_time, data_time, losses = AveMeter(), AveMeter(), AveMeter()
             end = time.time()
-            if it % 10 == 0:
-                log.info(
-                    f"[{epoch}][{it}/{len(loader)}] loss {losses.avg:.4f} "
-                    f"(noweight {float(noweight):.4f}) "
-                    f"batch {batch_time.avg:.3f}s data {data_time.avg:.3f}s"
+            for it, batch in enumerate(loader):
+                data_time.update(time.time() - end)
+                mask = (np.arange(batch["bboxes"].shape[1])[None, :]
+                        < batch["num_dts"][:, None])
+                weights = batch["labels"][..., 2] * mask[..., None]
+                raw = {
+                    "data": np.asarray(batch["data"]),
+                    "bboxes": np.asarray(batch["bboxes"]),
+                    "targets": np.asarray(batch["labels"][..., 1]),
+                    "weights": np.asarray(weights),
+                }
+                if raw["data"].shape[0] % n_dev == 0:
+                    sb = shard_batch(mesh, raw)
+                else:   # ragged final batch: replicate-free single-device put
+                    sb = {k: jnp.asarray(v) for k, v in raw.items()}
+                params, opt_state, loss, noweight = train_step(
+                    params, opt_state,
+                    sb["data"], sb["bboxes"], sb["targets"], sb["weights"],
                 )
-        state = TrainState(params, opt_state, jnp.int32((epoch + 1) * len(loader)))
-        ckpt = os.path.join(save_dir, f"rl_epoch_{epoch + 1}")
-        save_checkpoint(ckpt, state, epoch=epoch + 1)
-        log.info(f"saved {ckpt}")
+                losses.update(float(loss))
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if it % 10 == 0:
+                    log.info(
+                        f"[{epoch}][{it}/{len(loader)}] loss {losses.avg:.4f} "
+                        f"(noweight {float(noweight):.4f}) "
+                        f"batch {batch_time.avg:.3f}s data {data_time.avg:.3f}s"
+                    )
+            state = TrainState(params, opt_state,
+                               jnp.int32((epoch + 1) * len(loader)))
+            ckpt = os.path.join(save_dir, f"rl_epoch_{epoch + 1}")
+            save_checkpoint(ckpt, state, epoch=epoch + 1)
+            log.info(f"saved {ckpt}")
 
 
 def evaluate(args, cfg, dataset, loader, eval_step, params, action, log):
