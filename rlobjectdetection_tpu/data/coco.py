@@ -181,11 +181,35 @@ class coco(imdb):
         with open(res_file, "w") as fid:
             json.dump(results, fid)
 
+    def _print_detection_eval_metrics(self, coco_eval):
+        """Mean + per-category AP over IoU [0.5, 0.95] in the reference's
+        print format (coco.py:221-252)."""
+        lo, hi = 0.5, 0.95
+
+        def thr_ind(thr):
+            return int(np.where(np.isclose(coco_eval.params.iouThrs, thr))[0][0])
+
+        ind_lo, ind_hi = thr_ind(lo), thr_ind(hi)
+        # precision dims: (iou, recall, cls, area, maxdets); area 0 = all,
+        # maxdets 2 = 100
+        precision = coco_eval.eval["precision"][ind_lo:ind_hi + 1, :, :, 0, 2]
+        ap_default = np.mean(precision[precision > -1]) if (precision > -1).any() else -1
+        print(f"~~~~ Mean and per-category AP @ IoU=[{lo:.2f},{hi:.2f}] ~~~~")
+        print(f"{100 * ap_default:.1f}")
+        for cls_ind, cls in enumerate(self.classes):
+            if cls == "__background__":
+                continue
+            p = coco_eval.eval["precision"][ind_lo:ind_hi + 1, :, cls_ind - 1, 0, 2]
+            ap = np.mean(p[p > -1]) if (p > -1).any() else -1
+            print(f"{100 * ap:.1f}")
+        print("~~~~ Summary metrics ~~~~")
+
     def _do_detection_eval(self, res_file, output_dir):
         coco_dt = self._COCO.loadRes(res_file)
         coco_eval = COCOeval(self._COCO, coco_dt, iouType="bbox")
         coco_eval.evaluate()
         coco_eval.accumulate()
+        self._print_detection_eval_metrics(coco_eval)
         stats = coco_eval.summarize()
         eval_file = os.path.join(output_dir, "detection_results.pkl")
         with open(eval_file, "wb") as fid:

@@ -161,3 +161,29 @@ def test_proposal_layer_unit():
         assert (np.diff(sv) <= 1e-6).all()             # descending score order
         assert (r[i, v[i], 1:] >= 0).all()
         assert (r[i, v[i], 3] <= 127).all() and (r[i, v[i], 4] <= 95).all()
+
+
+def test_frozen_prefix_gradients_are_zero():
+    """frozen_stages places a stop_gradient at the frozen boundary: gradients
+    w.r.t. conv1/bn1/layer1 must be structurally zero (XLA can then delete the
+    whole backward through those stages — the torch requires_grad=False
+    pruning, resnet.py:250-259)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlobjectdetection_tpu.models.backbones.resnet import ResNetBase
+
+    model = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=1)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    grads = jax.jit(jax.grad(
+        lambda p, xx: model.apply({"params": p}, xx).sum()))(params, x)
+    frozen = [k for k in grads if k in ("conv1", "bn1", "layer1")]
+    live = [k for k in grads if k in ("layer2", "layer3")]
+    assert frozen and live
+    for k in frozen:
+        assert all(np.all(np.asarray(l) == 0)
+                   for l in jax.tree_util.tree_leaves(grads[k])), k
+    assert any(np.any(np.asarray(l) != 0)
+               for k in live for l in jax.tree_util.tree_leaves(grads[k]))
