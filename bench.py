@@ -31,7 +31,7 @@ def main():
 
     # COCO scale-800 config (BASELINE.md bench row): short side 800, padded to
     # 800×1216, COCO anchor scales.
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8   # measured optimum (DESIGN.md batch sweep)
     remat = "--remat" in sys.argv
     cfg = Config(
         ANCHOR_SCALES=(4, 8, 16, 32),
