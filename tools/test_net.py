@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--s", "--checksession", dest="session", default=1, type=int)
     p.add_argument("--checkepoch", default=1, type=int)
+    p.add_argument("--weights", default=None,
+                   help="evaluate a converted params dir (tools/convert_torch_weights.py output) instead of a training checkpoint")
     p.add_argument("--vis", action="store_true")
     p.add_argument("--vis_max", default=0, type=int,
                    help="cap on --vis overlays (0 = all images, like the reference)")
@@ -80,20 +82,40 @@ def main():
 
     backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
                 "res152": "resnet152"}.get(args.net, args.net)
-    ckpt = os.path.join(
-        args.load_dir, args.net, args.dataset,
-        f"faster_rcnn_{args.session}_{args.checkepoch}",
-    )
+    if args.weights:
+        # converted reference checkpoint (caffe .pth → convert_torch_weights):
+        # graft onto a fresh init so missing heads keep their init
+        from rlobjectdetection_tpu.engine.checkpoint import load_params
+        from tools.convert_torch_weights import merge_pretrained
 
-    # peek checkpoint meta to restore POOLING_MODE (test_net.py:171-172)
-    tree, meta = load_checkpoint(ckpt)
-    if meta and meta.get("pooling_mode"):
-        cfg = cfg_update(cfg, {"POOLING_MODE": meta["pooling_mode"]})
-    model = FasterRCNN(
-        num_classes=imdb_obj.num_classes, backbone=backbone,
-        class_agnostic=args.class_agnostic, cfg=cfg,
-    )
-    params = tree["params"]
+        model = FasterRCNN(
+            num_classes=imdb_obj.num_classes, backbone=backbone,
+            class_agnostic=args.class_agnostic, cfg=cfg,
+        )
+        sample_hw = 128
+        key = jax.random.PRNGKey(cfg.RNG_SEED)
+        init_params = jax.jit(model.init, static_argnames="train")(
+            {"params": key, "sampling": key, "dropout": key},
+            jnp.zeros((1, sample_hw, sample_hw, 3), jnp.float32),
+            jnp.asarray([[sample_hw, sample_hw, 1.0]], jnp.float32),
+            train=False,
+        )["params"]
+        params = merge_pretrained(init_params, load_params(args.weights))
+    else:
+        ckpt = os.path.join(
+            args.load_dir, args.net, args.dataset,
+            f"faster_rcnn_{args.session}_{args.checkepoch}",
+        )
+
+        # peek checkpoint meta to restore POOLING_MODE (test_net.py:171-172)
+        tree, meta = load_checkpoint(ckpt)
+        if meta and meta.get("pooling_mode"):
+            cfg = cfg_update(cfg, {"POOLING_MODE": meta["pooling_mode"]})
+        model = FasterRCNN(
+            num_classes=imdb_obj.num_classes, backbone=backbone,
+            class_agnostic=args.class_agnostic, cfg=cfg,
+        )
+        params = tree["params"]
 
     loader = RoiBatchLoader(
         roidb, ratio_list, ratio_index, 1, scales=cfg.TEST.SCALES,
