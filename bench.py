@@ -6,6 +6,9 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): the reference trains Res-101 COCO at scale 800 on
 8× Titan X at 6.0 hr/epoch ≈ 0.68 images/sec/GPU. vs_baseline is the per-chip
 multiple of that number (target ≥ 3.0).
+
+`--infer` benchmarks the serving path instead: eval forward + on-device decode
++ per-class NMS + top-100 cap (the full test_net per-image pipeline).
 """
 
 import json
@@ -62,6 +65,10 @@ def main():
     state = create_train_state(model, tx, batch)
     step = make_train_step(model, tx)
 
+    if "--infer" in sys.argv:
+        _bench_infer(model, state.params, batch, batch_size)
+        return
+
     # XLA's own FLOP count for the whole train step → MFU against v5e bf16 peak
     step_flops = None
     try:
@@ -101,6 +108,44 @@ def main():
         out["tflops"] = round(achieved / 1e12, 1)
         out["mfu"] = round(achieved / V5E_BF16_PEAK, 3)
     print(json.dumps(out))
+
+
+def _bench_infer(model, params, batch, batch_size):
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.engine import postprocess_detections
+
+    @jax.jit
+    def infer(p, data, im_info):
+        out = model.apply({"params": p}, data, im_info, train=False)
+
+        def per_image(rois, cls_prob, bbox_pred, info, valid):
+            return postprocess_detections(
+                rois, cls_prob, bbox_pred, info, valid,
+                num_classes=81, max_per_image=100, nms_thresh=0.3,
+            )
+
+        return jax.vmap(per_image)(out["rois"], out["cls_prob"],
+                                   out["bbox_pred"], im_info, out["roi_valid"])
+
+    data, info = batch["data"], batch["im_info"]
+    for _ in range(3):
+        res = infer(params, data, info)
+    float(jnp.asarray(res[0]).ravel()[0])
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = infer(params, data, info)
+    float(jnp.asarray(res[0]).ravel()[0])
+    dt = time.perf_counter() - t0
+    img_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "infer_images_per_sec_per_chip_res101_coco800",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
+    }))
 
 
 def _gt(rng, b, g, h, w):
