@@ -40,7 +40,10 @@ def main():
         ANCHOR_SCALES=(4, 8, 16, 32),
         MAX_NUM_GT_BOXES=50,
         REMAT=remat,
-        ALIGN_IMPL="cvjp" if "--cvjp" in sys.argv else "autodiff",
+        CONV1_S2D="--s2d" in sys.argv,
+        ALIGN_IMPL=("cvjp" if "--cvjp" in sys.argv
+                    else "pallas" if "--pallas-align" in sys.argv
+                    else "autodiff"),
     )
     h, w, g = 800, 1216, 50
     model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)

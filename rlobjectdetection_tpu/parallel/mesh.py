@@ -22,6 +22,29 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+def make_hybrid_mesh(axis: str = "data") -> Mesh:
+    """Multi-host mesh whose device order keeps each host's devices contiguous,
+    so the flattened 1-D data axis reduces hierarchically: XLA's psum does the
+    intra-host portion over ICI and only crosses DCN once per host pair
+    (the scaling-book layout rule). Single-process: plain make_mesh."""
+    if jax.process_count() == 1:
+        return make_mesh(axis=axis)
+    from jax.experimental import mesh_utils
+
+    ndev = len(jax.devices())
+    nproc = jax.process_count()
+    try:
+        dev = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ndev // nproc,), dcn_mesh_shape=(nproc,),
+        ).reshape(-1)
+    except ValueError:
+        # no slice topology info (e.g. multi-process CPU): process-major order
+        # gives the same host-contiguous property
+        dev = np.array(sorted(jax.devices(),
+                              key=lambda d: (d.process_index, d.id)))
+    return Mesh(dev, (axis,))
+
+
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     """Device-put each array sharded on its leading (batch) dim."""
     sharding = NamedSharding(mesh, P(axis))

@@ -42,7 +42,7 @@ from rlobjectdetection_tpu.config import Config  # noqa: E402
 from rlobjectdetection_tpu.engine import build_optimizer, make_train_step  # noqa: E402
 from rlobjectdetection_tpu.engine.train import TrainState  # noqa: E402
 from rlobjectdetection_tpu.models import FasterRCNN  # noqa: E402
-from rlobjectdetection_tpu.parallel import make_mesh, replicate  # noqa: E402
+from rlobjectdetection_tpu.parallel import make_hybrid_mesh, replicate  # noqa: E402
 from rlobjectdetection_tpu.parallel.distributed import (  # noqa: E402
     fetch_scalar, shard_global_batch,
 )
@@ -78,7 +78,7 @@ def main():
         "num_boxes": np.full((b,), 4, np.int32),
     }
 
-    mesh = make_mesh()
+    mesh = make_hybrid_mesh()   # host-contiguous order (ICI-first reduce)
     with mesh:
         key = jax.random.PRNGKey(3)
         params = jax.jit(model.init, static_argnames="train")(

@@ -150,7 +150,14 @@ def main():
             f"batch size {args.batch_size} only divides {n_dev} of the "
             f"{n_avail} available devices — training on {n_dev} device(s); "
             f"raise --bs to a multiple of {n_avail} to use the whole mesh")
-    mesh = make_mesh(n_dev)
+    if n_host > 1:
+        # host-contiguous device order: the psum reduces over ICI first and
+        # crosses DCN once (parallel/mesh.py::make_hybrid_mesh)
+        from rlobjectdetection_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh()
+    else:
+        mesh = make_mesh(n_dev)
     log.info(f"data-parallel over {n_dev} device(s), {n_host} host(s)")
     with mesh:
         key = jax.random.PRNGKey(cfg.RNG_SEED)
