@@ -76,7 +76,7 @@ def main():
     step_flops = None
     try:
         key0 = jax.random.PRNGKey(7)
-        cost = jax.jit(step).lower(state, batch, key0).compile().cost_analysis()
+        cost = step.lower(state, batch, key0).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) or None

@@ -66,12 +66,15 @@ def get_weights_statistics(imgIds, catIds, dt_boxes, gt_boxes, bbox_action,
     `maxDets` optionally subsamples to bound startup cost; that CHANGES the
     statistic (a uniform sample of the pos/neg mass) and is off by default.
     `num_workers` > 1 splits the pass across threads (the IoU math is numpy,
-    which releases the GIL); the result is identical for any worker count.
+    which releases the GIL); the counts are identical for any worker count and
+    the weight sums equal up to float-addition reassociation.
     """
     rng = np.random.RandomState(3)
-    flat = [(key, dt) for key in
-            ((img_id, cat_id) for img_id in imgIds for cat_id in catIds)
-            for dt in dt_boxes[key]]
+    wanted = {(i, c) for i in imgIds for c in catIds}
+    # iterate existing keys only — probing the caller's defaultdict for the
+    # full imgIds×catIds product would insert millions of empty lists
+    flat = [(key, dt) for key, dts in dt_boxes.items() if key in wanted
+            for dt in dts]
     if shuffle:
         rng.shuffle(flat)
     if maxDets is not None:

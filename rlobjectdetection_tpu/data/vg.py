@@ -360,8 +360,10 @@ def vg_eval(detfile, gt_roidb, image_index, cls_ind, ovthresh=0.5,
 
     ids = np.array([r[0] for r in rows])
     scores = np.array([float(r[1]) for r in rows])
-    # results files carry 1-based coords (devkit convention) — undo
-    boxes = np.array([[float(z) for z in r[2:6]] for r in rows]) - 1.0
+    # The results files carry devkit 1-based coords and the reference
+    # evaluator matches them VERBATIM against the 0-based roidb gt
+    # (vg_eval.py:66-90) — a systematic 1-px shift we preserve for parity.
+    boxes = np.array([[float(z) for z in r[2:6]] for r in rows])
 
     order = np.argsort(-scores)
     ids, scores, boxes = ids[order], scores[order], boxes[order]

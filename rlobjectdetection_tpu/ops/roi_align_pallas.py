@@ -7,7 +7,8 @@ bilinear (roi_align_kernel.cu:40-67) is recast as a sparse-matrix product
     out[r·A·A + py·A + px, :] = K[m, h·W + w] @ F_b[h·W + w, :]
 
 where each K row holds the sample's 4 bilinear corner weights. Per grid step
-the kernel handles GROUP=2 rois (2·A² = 128 = a full MXU sublane tile):
+the kernel handles GROUP rois (GROUP·A² sample rows; GROUP=4 → 256 = two full
+MXU sublane tiles):
 
   * the image's flattened feature map [H·W, C] is DMA'd HBM→VMEM once per
     image (the grid walks rois in image order; the copy is skipped while the
@@ -108,12 +109,23 @@ def roi_align_fwd_pallas(features, rois, aligned: int = 8,
                          spatial_scale: float = 1.0 / 16.0,
                          rois_per_image: int | None = None):
     """features [B, H, W, C] (bf16); rois [R, 5] sorted by image (col 0).
-    Returns [R, A, A, C] f32. Per-image roi count must be even (grid groups
-    of 2 must not straddle images); pass rois_per_image for the assert."""
+    Returns [R, A, A, C] f32.
+
+    Grid groups of GROUP rois share one image's feature map, so groups must
+    never straddle an image boundary: pass the static per-image roi count
+    (`rois_per_image`) to enable grouping. Without it, multi-image inputs fall
+    back to the always-correct group=1 path (single-image inputs may group
+    whenever R divides)."""
     b, h, w, c = features.shape
     r = rois.shape[0]
     a = aligned
-    group = GROUP if (rois_per_image or r) % GROUP == 0 else 1
+    if rois_per_image is not None:
+        assert r % rois_per_image == 0, (r, rois_per_image)
+        group = GROUP if rois_per_image % GROUP == 0 else 1
+    elif b == 1:
+        group = GROUP if r % GROUP == 0 else 1
+    else:
+        group = 1
     cols = _sample_columns(rois, h, w, a, spatial_scale)
     y0, wyl, wyh, x0, wxl, wxh, bi = cols
 
