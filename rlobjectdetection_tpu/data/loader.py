@@ -136,7 +136,13 @@ class RoiBatchLoader:
         gt_boxes = gt_boxes[keep]
         return im, gt_boxes, im_scale
 
-    def _assemble(self, indices, target_ratio: float, rng=None) -> DetectionBatch:
+    def _assemble(self, indices, target_ratio: float, rng=None,
+                  pad_hw: tuple[int, int] | None = None,
+                  pad_count: int | None = None) -> DetectionBatch:
+        """pad_hw/pad_count force the blob to a fixed [pad_count, *pad_hw, 3]
+        canvas (bucketed eval batching: every batch of a bucket — including the
+        final partial one — reuses ONE compiled shape; padding rows carry
+        im_info = (ph, pw, 1) and zero pixels, and are dropped by the caller)."""
         rng = rng if rng is not None else self.rng
         ims, gts, scales = [], [], []
         for idx in indices:
@@ -144,15 +150,20 @@ class RoiBatchLoader:
             ims.append(im)
             gts.append(gt)
             scales.append(s)
-        max_h = max(im.shape[0] for im in ims)
-        max_w = max(im.shape[1] for im in ims)
-        ph, pw = pad_shape(max_h, max_w, self.pad_multiple)
-        blob = np.zeros((len(ims), ph, pw, 3), dtype=np.float32)
-        im_info = np.zeros((len(ims), 3), dtype=np.float32)
+        if pad_hw is None:
+            max_h = max(im.shape[0] for im in ims)
+            max_w = max(im.shape[1] for im in ims)
+            ph, pw = pad_shape(max_h, max_w, self.pad_multiple)
+        else:
+            ph, pw = pad_hw
+        n = pad_count if pad_count is not None else len(ims)
+        blob = np.zeros((n, ph, pw, 3), dtype=np.float32)
+        im_info = np.tile(np.array([ph, pw, 1.0], dtype=np.float32), (n, 1))
         for i, im in enumerate(ims):
             blob[i, : im.shape[0], : im.shape[1]] = im
             im_info[i] = (im.shape[0], im.shape[1], scales[i])
-        gt_pad, num = pad_gt_boxes(gts, self.max_num_gt)
+        gt_pad, num = pad_gt_boxes(gts + [np.zeros((0, 5), np.float32)] * (n - len(ims)),
+                                   self.max_num_gt)
         return DetectionBatch(
             data=blob, im_info=im_info, gt_boxes=gt_pad, num_boxes=num
         )
@@ -184,3 +195,31 @@ class RoiBatchLoader:
     def __iter__(self) -> Iterator[DetectionBatch]:
         for idxs, ratio, seed in self.batch_plan():
             yield self._assemble(idxs, ratio, np.random.RandomState(seed))
+
+
+def eval_bucket_plan(roidb, scale: int, batch_size: int,
+                     pad_multiple: int = 32):
+    """Shape-bucketed eval batching plan.
+
+    The reference evaluates strictly one image at a time
+    (RCNN_bases/test_net.py:230); on TPU that leaves the chip latency-bound per
+    dispatch. Grouping images whose quantized padded shape matches lets eval
+    run at bs>1 with ZERO extra padding waste and a compile set still bounded
+    by the bucket count (DESIGN.md "Eval-path compile buckets").
+
+    Shapes are predicted from roidb width/height with a ceil-rounded resize —
+    cv2's actual round-to-nearest result can only be ≤ that, so every image
+    fits its planned canvas. Returns [(indices, (ph, pw)), ...] covering every
+    image exactly once, buckets in descending frequency.
+    """
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, e in enumerate(roidb):
+        h, w = int(e["height"]), int(e["width"])
+        s = float(scale) / min(h, w)
+        ph, pw = pad_shape(int(np.ceil(h * s)), int(np.ceil(w * s)), pad_multiple)
+        buckets.setdefault((ph, pw), []).append(i)
+    plan = []
+    for shape, idxs in sorted(buckets.items(), key=lambda kv: -len(kv[1])):
+        for s0 in range(0, len(idxs), batch_size):
+            plan.append((idxs[s0 : s0 + batch_size], shape))
+    return plan

@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--vis", action="store_true")
     p.add_argument("--vis_max", default=0, type=int,
                    help="cap on --vis overlays (0 = all images, like the reference)")
+    p.add_argument("--batch", default=1, type=int,
+                   help="eval batch size; >1 groups images by padded-shape bucket "
+                        "(same compile set, no cross-aspect padding waste)")
     return p.parse_args()
 
 
@@ -57,6 +60,7 @@ def main():
         Config, DATASET_OVERRIDES, LS_OVERRIDES, cfg_from_file, cfg_from_list, cfg_update,
     )
     from rlobjectdetection_tpu.data import RoiBatchLoader, combined_roidb
+    from rlobjectdetection_tpu.data.loader import eval_bucket_plan
     from rlobjectdetection_tpu.engine import detections_to_all_boxes, postprocess_detections
     from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint
     from rlobjectdetection_tpu.models import FasterRCNN
@@ -124,20 +128,9 @@ def main():
 
     forward = jax.jit(model.apply, static_argnames="train")
 
-    dets = []
-    t_det = t_misc = 0.0
-    shape_buckets = {}   # padded (H, W) → count: each distinct shape is one XLA compile
-    for i, batch in enumerate(loader):
-        hw = tuple(batch["data"].shape[1:3])
-        shape_buckets[hw] = shape_buckets.get(hw, 0) + 1
-        t0 = time.time()
-        out = forward(
-            {"params": params}, jnp.asarray(batch["data"]),
-            jnp.asarray(batch["im_info"]), train=False,
-        )
-        boxes, scores, classes, valid = postprocess_detections(
-            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
-            jnp.asarray(batch["im_info"][0]), out["roi_valid"][0],
+    def postprocess_one(rois, cls_prob, bbox_pred, info, valid):
+        return postprocess_detections(
+            rois, cls_prob, bbox_pred, info, valid,
             num_classes=imdb_obj.num_classes,
             class_agnostic=args.class_agnostic,
             max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
@@ -146,13 +139,56 @@ def main():
             normalize_stds=cfg.TRAIN.BBOX_NORMALIZE_STDS,
             normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
         )
-        jax.block_until_ready(boxes)
-        t_det += time.time() - t0
-        dets.append((boxes, scores, classes, valid))
-        if args.vis and (args.vis_max <= 0 or i < args.vis_max):
-            _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid)
-        if i % 100 == 0:
-            print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")
+
+    dets = [None] * num_images
+    t_det = 0.0
+    n_done = 0
+    shape_buckets = {}   # padded (H, W) → count: each distinct shape is one XLA compile
+    if args.batch > 1:
+        # bucketed batching: the reference is strictly bs1 at eval
+        # (test_net.py:230); same-shape images batch with no padding waste
+        if len(cfg.TEST.SCALES) != 1:
+            sys.exit("--batch >1 requires a single TEST scale (shape planning)")
+        batched_post = jax.jit(jax.vmap(postprocess_one))
+        plan = eval_bucket_plan(roidb, cfg.TEST.SCALES[0], args.batch)
+        for idxs, hw in plan:
+            shape_buckets[hw] = shape_buckets.get(hw, 0) + len(idxs)
+            batch = loader._assemble(idxs, 1.0, pad_hw=hw, pad_count=args.batch)
+            t0 = time.time()
+            out = forward(
+                {"params": params}, jnp.asarray(batch["data"]),
+                jnp.asarray(batch["im_info"]), train=False,
+            )
+            res = batched_post(out["rois"], out["cls_prob"], out["bbox_pred"],
+                               jnp.asarray(batch["im_info"]), out["roi_valid"])
+            jax.block_until_ready(res)
+            t_det += time.time() - t0
+            for j, idx in enumerate(idxs):
+                dets[idx] = tuple(np.asarray(x[j]) for x in res)
+                if args.vis and (args.vis_max <= 0 or idx < args.vis_max):
+                    _write_vis(imdb_obj, roidb, idx, *dets[idx])
+            n_done += len(idxs)
+            print(f"im_detect: {n_done}/{num_images} {t_det / n_done:.3f}s/img")
+    else:
+        for i, batch in enumerate(loader):
+            hw = tuple(batch["data"].shape[1:3])
+            shape_buckets[hw] = shape_buckets.get(hw, 0) + 1
+            t0 = time.time()
+            out = forward(
+                {"params": params}, jnp.asarray(batch["data"]),
+                jnp.asarray(batch["im_info"]), train=False,
+            )
+            boxes, scores, classes, valid = postprocess_one(
+                out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
+                jnp.asarray(batch["im_info"][0]), out["roi_valid"][0],
+            )
+            jax.block_until_ready(boxes)
+            t_det += time.time() - t0
+            dets[i] = (boxes, scores, classes, valid)
+            if args.vis and (args.vis_max <= 0 or i < args.vis_max):
+                _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid)
+            if i % 100 == 0:
+                print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")
 
     # recompilation report: pad_multiple quantization bounds the jit cache to
     # these buckets; each row below was one compile (VERDICT r1 weak-7)
