@@ -9,6 +9,11 @@ multiple of that number (target ≥ 3.0).
 
 `--infer` benchmarks the serving path instead: eval forward + on-device decode
 + per-class NMS + top-100 cap (the full test_net per-image pipeline).
+
+`--rl` benchmarks the RL refinement workload (the repo's namesake): the
+56-action action-value net — frozen conv1..layer3 trunk, RoIAlignAvg over the
+detection boxes, stride-1 layer4 head, weighted-MSE train step
+(Reinforcement/resnet.py:166-199 semantics) at COCO scale 800.
 """
 
 import json
@@ -46,6 +51,9 @@ def main():
                     else "autodiff"),
     )
     h, w, g = 800, 1216, 50
+    if "--rl" in sys.argv:
+        _bench_rl(batch_size, h, w)
+        return
     model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
 
     rng = np.random.RandomState(3)
@@ -111,6 +119,68 @@ def main():
         out["tflops"] = round(achieved / 1e12, 1)
         out["mfu"] = round(achieved / V5E_BF16_PEAK, 3)
     print(json.dumps(out))
+
+
+def _bench_rl(batch_size, h, w, n_boxes=64):
+    """RL action-value net train throughput: bs images × n_boxes detection
+    boxes each, trunk frozen (gradient cut at C4), weighted-MSE step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rlobjectdetection_tpu.models.rl import RLPolicyNet
+
+    model = RLPolicyNet(num_acts=56, num_layers=101, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32))
+    boxes = np.zeros((batch_size, n_boxes, 8), dtype=np.float32)
+    boxes[:, :, 0] = np.arange(batch_size)[:, None]
+    boxes[:, :, 1] = rng.randint(0, w - 200, boxes.shape[:2])
+    boxes[:, :, 2] = rng.randint(0, h - 200, boxes.shape[:2])
+    boxes[:, :, 3] = boxes[:, :, 1] + rng.randint(30, 190, boxes.shape[:2])
+    boxes[:, :, 4] = boxes[:, :, 2] + rng.randint(30, 190, boxes.shape[:2])
+    boxes = jnp.asarray(boxes)
+    targets = jnp.asarray(
+        rng.choice([-1.0, 1.0], (batch_size, n_boxes, 56)).astype(np.float32))
+    weights = jnp.asarray(
+        rng.rand(batch_size, n_boxes, 56).astype(np.float32) + 0.5)
+
+    params = model.init(jax.random.PRNGKey(3), img, boxes, targets, weights)["params"]
+    # frozen trunk (Reinforcement/resnet.py:139-147) + momentum SGD, as trainval_rl
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "frozen" if path[0].key == "base" else "train", params)
+    tx = optax.multi_transform(
+        {"train": optax.sgd(0.01, momentum=0.9), "frozen": optax.set_to_zero()},
+        labels,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, img, boxes, targets, weights):
+        def loss_fn(p):
+            _, loss, _ = model.apply({"params": p}, img, boxes, targets, weights)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, img, boxes, targets, weights)
+    float(loss)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, img, boxes, targets, weights)
+    float(loss)
+    dt = time.perf_counter() - t0
+    img_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "rl_train_images_per_sec_per_chip_res101_coco800",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
+    }))
 
 
 def _bench_infer(model, params, batch, batch_size):
