@@ -68,6 +68,17 @@ def test_trainval_then_testnet_cli(cli_env):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "Mean AP" in r2.stdout
 
+    # bucketed batched eval must produce the same AP table (test_net --batch)
+    r3 = _run(
+        ["tools/test_net.py", "--dataset", "pascal_voc", "--net", "tiny",
+         "--load_dir", save_dir, "--checkepoch", "1", "--batch", "2",
+         "--set"] + TINY_SET,
+        env,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    ap = lambda out: [l for l in out.stdout.splitlines() if "Mean AP" in l]
+    assert ap(r3) == ap(r2), (ap(r2), ap(r3))
+
 
 def test_demo_cli(cli_env, tmp_path):
     env, root = cli_env
