@@ -23,6 +23,48 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_GPU = 0.68
+V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
+
+
+def _xla_flops(fn, *args):
+    """XLA's own FLOP count for jitted fn at these args (None if unsupported)."""
+    try:
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _measure_and_report(metric, run_once, sync, batch_size, iters=30,
+                        step_flops=None):
+    """Shared warmup/time/report harness for all bench modes.
+
+    Sync is a device-get of a loop-carried value: on the tunneled axon platform
+    block_until_ready returns early, but a value fetch cannot lie — the final
+    iteration's value transitively requires every prior iteration's work.
+    """
+    for _ in range(3):
+        out = run_once()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run_once()
+    sync(out)
+    dt = time.perf_counter() - t0
+    img_per_sec = batch_size * iters / dt
+    rec = {
+        "metric": metric,
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
+    }
+    if step_flops:
+        achieved = step_flops * iters / dt
+        rec["tflops"] = round(achieved / 1e12, 1)
+        rec["mfu"] = round(achieved / V5E_BF16_PEAK, 3)
+    print(json.dumps(rec))
 
 
 def main():
@@ -39,7 +81,8 @@ def main():
 
     # COCO scale-800 config (BASELINE.md bench row): short side 800, padded to
     # 800×1216, COCO anchor scales.
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8   # measured optimum (DESIGN.md batch sweep)
+    # first numeric arg is the batch size (flags like --rl/--infer may precede it)
+    batch_size = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)  # 8 = measured optimum (DESIGN.md batch sweep)
     remat = "--remat" in sys.argv
     cfg = Config(
         ANCHOR_SCALES=(4, 8, 16, 32),
@@ -74,51 +117,27 @@ def main():
         "resnet101", base_lr=0.01,
     )
     state = create_train_state(model, tx, batch)
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, donate="--donate" in sys.argv)
 
     if "--infer" in sys.argv:
         _bench_infer(model, state.params, batch, batch_size)
         return
 
     # XLA's own FLOP count for the whole train step → MFU against v5e bf16 peak
-    step_flops = None
-    try:
-        key0 = jax.random.PRNGKey(7)
-        cost = step.lower(state, batch, key0).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
-
     key = jax.random.PRNGKey(7)
-    # warmup / compile. Sync via a device-get of the loss: on the tunneled axon
-    # platform block_until_ready returns early, but a value fetch cannot lie —
-    # the final step's loss transitively requires every prior step's update.
-    for i in range(3):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    float(metrics["loss"])
+    step_flops = _xla_flops(step, state, batch, key)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    holder = {"state": state, "i": 0}
 
-    img_per_sec = batch_size * iters / dt
-    out = {
-        "metric": "train_images_per_sec_per_chip_res101_coco800",
-        "value": round(img_per_sec, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
-    }
-    if step_flops:
-        V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
-        achieved = step_flops * iters / dt
-        out["tflops"] = round(achieved / 1e12, 1)
-        out["mfu"] = round(achieved / V5E_BF16_PEAK, 3)
-    print(json.dumps(out))
+    def run_once():
+        holder["state"], metrics = step(
+            holder["state"], batch, jax.random.fold_in(key, holder["i"]))
+        holder["i"] += 1
+        return metrics
+
+    _measure_and_report("train_images_per_sec_per_chip_res101_coco800",
+                        run_once, lambda m: float(m["loss"]), batch_size,
+                        step_flops=step_flops)
 
 
 def _bench_rl(batch_size, h, w, n_boxes=64):
@@ -165,22 +184,17 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, img, boxes, targets, weights)
-    float(loss)
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, img, boxes, targets, weights)
-    float(loss)
-    dt = time.perf_counter() - t0
-    img_per_sec = batch_size * iters / dt
-    print(json.dumps({
-        "metric": "rl_train_images_per_sec_per_chip_res101_coco800",
-        "value": round(img_per_sec, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
-    }))
+    holder = {"p": params, "o": opt_state}
+
+    def run_once():
+        holder["p"], holder["o"], loss = step(
+            holder["p"], holder["o"], img, boxes, targets, weights)
+        return loss
+
+    _measure_and_report("rl_train_images_per_sec_per_chip_res101_coco800",
+                        run_once, float, batch_size,
+                        step_flops=_xla_flops(step, params, opt_state, img,
+                                              boxes, targets, weights))
 
 
 def _bench_infer(model, params, batch, batch_size):
@@ -203,22 +217,11 @@ def _bench_infer(model, params, batch, batch_size):
                                    out["bbox_pred"], im_info, out["roi_valid"])
 
     data, info = batch["data"], batch["im_info"]
-    for _ in range(3):
-        res = infer(params, data, info)
-    float(jnp.asarray(res[0]).ravel()[0])
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        res = infer(params, data, info)
-    float(jnp.asarray(res[0]).ravel()[0])
-    dt = time.perf_counter() - t0
-    img_per_sec = batch_size * iters / dt
-    print(json.dumps({
-        "metric": "infer_images_per_sec_per_chip_res101_coco800",
-        "value": round(img_per_sec, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_GPU, 2),
-    }))
+    _measure_and_report("infer_images_per_sec_per_chip_res101_coco800",
+                        lambda: infer(params, data, info),
+                        lambda r: float(jnp.asarray(r[0]).ravel()[0]),
+                        batch_size,
+                        step_flops=_xla_flops(infer, params, data, info))
 
 
 def _gt(rng, b, g, h, w):

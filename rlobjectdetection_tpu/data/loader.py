@@ -150,12 +150,16 @@ class RoiBatchLoader:
             ims.append(im)
             gts.append(gt)
             scales.append(s)
+        max_h = max(im.shape[0] for im in ims)
+        max_w = max(im.shape[1] for im in ims)
         if pad_hw is None:
-            max_h = max(im.shape[0] for im in ims)
-            max_w = max(im.shape[1] for im in ims)
             ph, pw = pad_shape(max_h, max_w, self.pad_multiple)
         else:
+            # grow (never crash) if a planned canvas under-predicted the
+            # cv2-rounded resize by an ulp — quantized, so growth stays bucketed
             ph, pw = pad_hw
+            if max_h > ph or max_w > pw:
+                ph, pw = pad_shape(max(max_h, ph), max(max_w, pw), self.pad_multiple)
         n = pad_count if pad_count is not None else len(ims)
         blob = np.zeros((n, ph, pw, 3), dtype=np.float32)
         im_info = np.tile(np.array([ph, pw, 1.0], dtype=np.float32), (n, 1))
@@ -207,16 +211,18 @@ def eval_bucket_plan(roidb, scale: int, batch_size: int,
     run at bs>1 with ZERO extra padding waste and a compile set still bounded
     by the bucket count (DESIGN.md "Eval-path compile buckets").
 
-    Shapes are predicted from roidb width/height with a ceil-rounded resize —
-    cv2's actual round-to-nearest result can only be ≤ that, so every image
-    fits its planned canvas. Returns [(indices, (ph, pw)), ...] covering every
+    Shapes are predicted from roidb width/height with the same round-to-nearest
+    resize cv2 applies, so planned canvases MATCH the bs1 path's padded shapes
+    (outputs stay bit-equal to per-image eval). If a last-ulp rounding
+    difference ever under-predicts, `_assemble(pad_hw=...)` grows the canvas
+    rather than failing. Returns [(indices, (ph, pw)), ...] covering every
     image exactly once, buckets in descending frequency.
     """
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, e in enumerate(roidb):
         h, w = int(e["height"]), int(e["width"])
         s = float(scale) / min(h, w)
-        ph, pw = pad_shape(int(np.ceil(h * s)), int(np.ceil(w * s)), pad_multiple)
+        ph, pw = pad_shape(int(round(h * s)), int(round(w * s)), pad_multiple)
         buckets.setdefault((ph, pw), []).append(i)
     plan = []
     for shape, idxs in sorted(buckets.items(), key=lambda kv: -len(kv[1])):

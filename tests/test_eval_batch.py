@@ -3,9 +3,8 @@ to the per-image path.
 
 The reference evaluates strictly one image at a time (RCNN_bases/test_net.py:230);
 `eval_bucket_plan` groups same-padded-shape images so eval runs at bs>1 with a
-bounded compile set. Image sizes here are chosen so the resize scale is exact
-(ceil == round), making the batched canvas identical to the bs1 canvas — the
-outputs must then match exactly.
+bounded compile set; its round-to-nearest shape prediction matches the bs1
+path's cv2 resize, so batched outputs must match the per-image path exactly.
 """
 
 import numpy as np
@@ -79,7 +78,7 @@ def test_plan_covers_all_once():
 
 
 def test_plan_canvas_always_fits():
-    # round-to-nearest resize result must fit the ceil-planned canvas
+    # the cv2 round-to-nearest resize result must fit the planned canvas
     roidb = [{"height": h, "width": w}
              for h, w in [(101, 333), (97, 96), (333, 101), (1000, 1)]]
     plan = eval_bucket_plan(roidb, SCALE, batch_size=1)

@@ -64,13 +64,15 @@ def test_async_overlaps_decode(tmp_path):
     finally:
         type(loader)._assemble = orig
 
-    overlaps = sum(
-        1
+    # 16 batches, 4 workers + 2 prefetch: ~10 decodes must happen while batches
+    # are being consumed. Requiring several distinct overlapping decodes (not
+    # just one) catches a regression to near-serial behavior (e.g. effective
+    # prefetch depth collapsing to 1) while staying load-robust.
+    overlapping_decodes = sum(
+        any(max(ds, cs) < min(de, ce) for cs, ce in consume_spans)
         for ds, de in decode_spans
-        for cs, ce in consume_spans
-        if max(ds, cs) < min(de, ce)
     )
-    assert overlaps > 0, (decode_spans, consume_spans)
+    assert overlapping_decodes >= 4, (overlapping_decodes, len(decode_spans))
 
 
 def test_device_prefetch_order_and_depth():

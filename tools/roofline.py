@@ -45,7 +45,13 @@ def main():
             g = jax.grad(lambda pp: base.apply(pp, x).astype(jnp.float32).sum())(p)
             return sum(l.astype(jnp.float32).ravel()[0] for l in jax.tree_util.tree_leaves(g))
 
-        flops = float(fwdbwd.lower(params, img).compile().cost_analysis().get("flops", 0))
+        try:
+            cost = fwdbwd.lower(params, img).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
         for _ in range(3):
             out = fwdbwd(params, img)
         float(out)

@@ -167,8 +167,9 @@ def main():
                 dets[idx] = tuple(np.asarray(x[j]) for x in res)
                 if args.vis and (args.vis_max <= 0 or idx < args.vis_max):
                     _write_vis(imdb_obj, roidb, idx, *dets[idx])
-            n_done += len(idxs)
-            print(f"im_detect: {n_done}/{num_images} {t_det / n_done:.3f}s/img")
+            prev, n_done = n_done, n_done + len(idxs)
+            if n_done // 100 > prev // 100 or n_done == num_images:
+                print(f"im_detect: {n_done}/{num_images} {t_det / n_done:.3f}s/img")
     else:
         for i, batch in enumerate(loader):
             hw = tuple(batch["data"].shape[1:3])
