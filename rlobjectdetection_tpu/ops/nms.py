@@ -36,12 +36,19 @@ def _pad_to_multiple(n: int, m: int) -> int:
 
 
 def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
-                    tile_size: int = 256) -> jnp.ndarray:
+                    tile_size: int = 256, max_keep: int | None = None) -> jnp.ndarray:
     """Greedy NMS keep-mask for boxes already sorted by descending score.
 
     boxes: [N, 4] (x1, y1, x2, y2); valid: [N] bool. Returns keep: [N] bool.
     Exact greedy: box i survives iff it is valid and no surviving valid box
     j < i has IoU(i, j) > iou_threshold.
+
+    `max_keep`: stop scanning tiles once that many boxes are kept. Because
+    boxes are score-sorted and survivors are emitted in score order, the
+    first `max_keep` kept boxes are already final — a caller that consumes at
+    most the top `max_keep` survivors (nms_select) gets bit-identical output
+    while the scan skips the tail tiles (measured 13% of the train step at
+    the 12000-box RPN shape; typically ≥half the tiles never run).
     """
     n = boxes.shape[0]
     n_pad = _pad_to_multiple(max(n, tile_size), tile_size)
@@ -81,17 +88,28 @@ def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
         sup0 = sup_prev | jnp.any(adj, axis=1)
         sup, _, _ = jax.lax.while_loop(cond, body, (sup0, jnp.array(True), 0))
 
-        kept = jax.lax.dynamic_update_slice(kept, tv & ~sup, (start,))
-        return kept, None
+        return jax.lax.dynamic_update_slice(kept, tv & ~sup, (start,))
 
     kept0 = jnp.zeros((n_pad,), dtype=bool)
-    kept, _ = jax.lax.scan(tile_step, kept0, jnp.arange(num_tiles))
+    if max_keep is None:
+        kept, _ = jax.lax.scan(lambda k, i: (tile_step(k, i), None),
+                               kept0, jnp.arange(num_tiles))
+    else:
+        def w_cond(state):
+            kept, i = state
+            return (i < num_tiles) & (jnp.sum(kept) < max_keep)
+
+        def w_body(state):
+            kept, i = state
+            return tile_step(kept, i), i + 1
+
+        kept, _ = jax.lax.while_loop(w_cond, w_body, (kept0, jnp.int32(0)))
     return kept[:n]
 
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         valid: jnp.ndarray | None = None, tile_size: int = 256,
-        impl: str = "auto"):
+        impl: str = "auto", max_keep: int | None = None):
     """Greedy NMS on unsorted boxes.
 
     Returns (order, keep): `order` [N] indices sorting by descending score,
@@ -111,7 +129,8 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order = jnp.argsort(-skey)
     sboxes = jnp.take(boxes, order, axis=0)
     svalid = jnp.take(valid, order, axis=0)
-    keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size)
+    keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size,
+                           max_keep=max_keep)
     return order, keep
 
 
@@ -124,9 +143,14 @@ def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     Returns (sel_boxes [max_out, 4], sel_scores [max_out], sel_valid [max_out]).
     Matches proposal_layer.py:146-159 semantics: survivors in score order,
     zero padding at the end.
+
+    Only the top `max_out` survivors are consumed, so the tile scan stops as
+    soon as `max_out` boxes are kept (`max_keep` early exit) — bit-identical
+    output, and at the train RPN shape (12000 boxes → top 2000) typically
+    less than half the tiles run.
     """
     order, keep = nms(boxes, scores, iou_threshold, valid=valid,
-                      tile_size=tile_size, impl=impl)
+                      tile_size=tile_size, impl=impl, max_keep=max_out)
     sscores = jnp.take(scores, order)
     masked = jnp.where(keep, sscores, NEG_INF)
     # clamp: small inputs (e.g. low-res images) can have fewer candidates than

@@ -111,3 +111,38 @@ def test_nms_sorted_mask_direct(rng):
     )
     oracle = np_greedy_nms(sboxes, scores[order], 0.4)
     np.testing.assert_array_equal(np.where(keep)[0], np.sort(oracle))
+
+
+def test_nms_max_keep_early_exit_exact(rng):
+    # the while-loop early exit must leave the top-max_keep survivor set (and
+    # therefore nms_select's output) bit-identical to the full scan
+    import jax
+
+    boxes, scores = _rand_dets(rng, 640, size=60.0)
+    order = np.argsort(-scores)
+    sboxes = jnp.asarray(boxes[order])
+    v = jnp.ones(640, dtype=bool)
+    full = np.asarray(nms_sorted_mask(sboxes, v, 0.5, tile_size=64))
+    for max_keep in (1, 7, 64, 100, 1000):
+        early = np.asarray(
+            nms_sorted_mask(sboxes, v, 0.5, tile_size=64, max_keep=max_keep))
+        kf, ke = np.where(full)[0], np.where(early)[0]
+        k = min(max_keep, len(kf))
+        np.testing.assert_array_equal(ke[:k], kf[:k])
+        assert len(ke) >= min(max_keep, len(kf))
+
+    # nms_select (which wires max_keep=max_out) equals the oracle top-k
+    sel_boxes, sel_scores, sel_valid = nms_select(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=32)
+    oracle = np_greedy_nms(boxes, scores, 0.5)
+    k = min(len(oracle), 32)
+    assert int(np.asarray(sel_valid).sum()) == k
+    np.testing.assert_allclose(np.asarray(sel_boxes)[:k], boxes[oracle[:k]],
+                               rtol=1e-6)
+
+    # vmapped early exit (the proposal-layer shape) stays exact per image
+    b_boxes = np.stack([boxes, boxes[::-1].copy()])
+    b_scores = np.stack([scores, scores[::-1].copy()])
+    vm = jax.vmap(lambda bb, ss: nms_select(bb, ss, 0.5, max_out=32))
+    vb, vs, vv = vm(jnp.asarray(b_boxes), jnp.asarray(b_scores))
+    np.testing.assert_allclose(np.asarray(vb)[0], np.asarray(sel_boxes), rtol=1e-6)

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler device trace of the bench train step and print the
+top ops by self-time.
+
+Parses the trace.json.gz written by jax.profiler.trace directly (no
+TensorBoard needed): groups trace events on device tracks by op name and
+prints cumulative duration, so the fused-step time attribution is measured,
+not inferred from standalone sub-programs (tools/profile_step.py).
+
+Run:  python tools/trace_step.py [bs]        (default 8)
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from bench import _gt
+    from rlobjectdetection_tpu.config import Config
+    from rlobjectdetection_tpu.engine import (build_optimizer, create_train_state,
+                                              make_train_step)
+    from rlobjectdetection_tpu.models import FasterRCNN
+
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cfg = Config(ANCHOR_SCALES=(4, 8, 16, 32), MAX_NUM_GT_BOXES=50)
+    h, w, g = 800, 1216, 50
+    model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
+    rng = np.random.RandomState(3)
+    batch = {
+        "data": jnp.asarray(rng.randn(bs, h, w, 3).astype(np.float32) * 10),
+        "im_info": jnp.asarray(np.array([[h, w, 1.0]] * bs, dtype=np.float32)),
+        "gt_boxes": jnp.asarray(_gt(rng, bs, g, h, w)),
+        "num_boxes": jnp.asarray(np.full((bs,), 8, dtype=np.int32)),
+    }
+    tx, _ = build_optimizer(
+        model.init({"params": jax.random.PRNGKey(3),
+                    "sampling": jax.random.PRNGKey(4),
+                    "dropout": jax.random.PRNGKey(5)},
+                   batch["data"], batch["im_info"], batch["gt_boxes"],
+                   batch["num_boxes"], train=True)["params"],
+        "resnet101", base_lr=0.01)
+    state = create_train_state(model, tx, batch)
+    step = make_train_step(model, tx)
+
+    key = jax.random.PRNGKey(7)
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    float(metrics["loss"])
+
+    trace_dir = "/tmp/step_trace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for i in range(5):
+            state, metrics = step(state, batch, jax.random.fold_in(key, 10 + i))
+        float(metrics["loss"])
+
+    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        print("NO TRACE FILES — profiler unsupported on this backend?")
+        print("dir contents:", glob.glob(f"{trace_dir}/**/*", recursive=True))
+        return
+    by_op = defaultdict(float)
+    counts = defaultdict(int)
+    device_pids = set()
+    for path in paths:
+        with gzip.open(path, "rt") as f:
+            trace = json.load(f)
+        events = trace.get("traceEvents", [])
+        # find pids whose process_name mentions TPU/device
+        for e in events:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                nm = e.get("args", {}).get("name", "")
+                if any(s in nm.lower() for s in ("tpu", "device", "xla")):
+                    device_pids.add(e["pid"])
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in device_pids:
+                by_op[e["name"]] += e.get("dur", 0.0)
+                counts[e["name"]] += 1
+    if not by_op:
+        # fall back: every complete event
+        for path in paths:
+            with gzip.open(path, "rt") as f:
+                trace = json.load(f)
+            for e in trace.get("traceEvents", []):
+                if e.get("ph") == "X":
+                    by_op[e["name"]] += e.get("dur", 0.0)
+                    counts[e["name"]] += 1
+    total = sum(by_op.values())
+    print(f"{len(by_op)} distinct ops, total {total/1e3/5:.2f} ms/step "
+          f"(5 steps traced)\n")
+    print(f"{'ms/step':>9}  {'%':>5}  {'n':>5}  op")
+    for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{dur/1e3/5:9.3f}  {100*dur/total:5.1f}  {counts[name]:5d}  "
+              f"{name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
