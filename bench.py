@@ -217,10 +217,12 @@ def _bench_infer(model, params, batch, batch_size):
                                    out["bbox_pred"], im_info, out["roi_valid"])
 
     data, info = batch["data"], batch["im_info"]
+    # steps are ~10 ms at bs1 — use a wide window so one dispatch hiccup over
+    # the tunneled backend cannot dominate the measurement
     _measure_and_report("infer_images_per_sec_per_chip_res101_coco800",
                         lambda: infer(params, data, info),
                         lambda r: float(jnp.asarray(r[0]).ravel()[0]),
-                        batch_size,
+                        batch_size, iters=300,
                         step_flops=_xla_flops(infer, params, data, info))
 
 

@@ -91,19 +91,28 @@ def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
         return jax.lax.dynamic_update_slice(kept, tv & ~sup, (start,))
 
     kept0 = jnp.zeros((n_pad,), dtype=bool)
-    if max_keep is None:
+    # The while-loop costs a per-iteration condition sync that the scan does
+    # not; it only pays when it can skip a meaningful number of tiles (the
+    # train RPN shape: 48 tiles -> ~9). At small tile counts (per-class test
+    # NMS: 2) the scan is faster — measured 11% of bs1 inference.
+    if max_keep is None or num_tiles <= 4:
         kept, _ = jax.lax.scan(lambda k, i: (tile_step(k, i), None),
                                kept0, jnp.arange(num_tiles))
     else:
         def w_cond(state):
-            kept, i = state
-            return (i < num_tiles) & (jnp.sum(kept) < max_keep)
+            kept, count, i = state
+            return (i < num_tiles) & (count < max_keep)
 
         def w_body(state):
-            kept, i = state
-            return tile_step(kept, i), i + 1
+            kept, count, i = state
+            new_kept = tile_step(kept, i)
+            # count only the tile's slice — a [TILE] reduce, not [N]
+            tile_new = jax.lax.dynamic_slice(new_kept, (i * tile_size,),
+                                             (tile_size,))
+            return new_kept, count + jnp.sum(tile_new), i + 1
 
-        kept, _ = jax.lax.while_loop(w_cond, w_body, (kept0, jnp.int32(0)))
+        kept, _, _ = jax.lax.while_loop(
+            w_cond, w_body, (kept0, jnp.int32(0), jnp.int32(0)))
     return kept[:n]
 
 
