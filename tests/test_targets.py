@@ -118,3 +118,53 @@ def test_proposal_target_fg_targets_decode_to_gt():
     )
     want = np.array(gt_box) + np.array([0, 0, 1, 1])  # decode's +1 convention
     np.testing.assert_allclose(dec, np.tile(want, (dec.shape[0], 1)), atol=0.1)
+
+
+def test_random_keep_count_and_uniformity():
+    # _random_keep must select exactly min(budget, |True set|) elements, and
+    # the marginal inclusion probability must be uniform over the True set
+    # (the reference subsamples with npr.permutation — uniform without
+    # replacement, anchor_target_layer.py:131)
+    from rlobjectdetection_tpu.models.targets import _random_keep
+
+    n, budget, trials = 64, 8, 600
+    mask = np.zeros(n, dtype=bool)
+    true_idx = np.arange(0, n, 2)          # 32 eligible
+    mask[true_idx] = True
+    m = jnp.asarray(mask)
+    counts = np.zeros(n)
+    for t in range(trials):
+        keep = np.asarray(_random_keep(jax.random.PRNGKey(t), m, budget, budget))
+        assert keep.sum() == budget
+        assert not keep[~mask].any()
+        counts += keep
+    p = counts[true_idx] / trials          # expect budget/32 = 0.25
+    assert abs(p.mean() - 0.25) < 0.01
+    assert p.min() > 0.15 and p.max() < 0.35   # ~5 sigma at 600 trials
+
+    # budget larger than the pool keeps the whole pool; zero budget keeps none
+    keep = np.asarray(_random_keep(jax.random.PRNGKey(0), m, 100, 64))
+    np.testing.assert_array_equal(keep, mask)
+    keep = np.asarray(_random_keep(jax.random.PRNGKey(0), m, 0, 64))
+    assert not keep.any()
+
+
+def test_proposal_target_gt_append_and_single_pool():
+    # Both-pools case (bg_thresh_lo=0 admits the IoU-0 candidates as bg):
+    # image 0's only fg candidate is the gt box itself, appended to the pool
+    # (proposal_target_layer_cascade.py:39-43) → exactly 1 fg; image 1 has
+    # 7 fg candidates but the fg quota is round(0.25·8) = 2.
+    key = jax.random.PRNGKey(5)
+    rois = np.zeros((2, 6, 5), dtype=np.float32)
+    rois[0, :, 1:5] = [200, 200, 240, 240]
+    rois[1, :, 1:5] = [40, 40, 160, 160]
+    gt = np.zeros((2, 2, 5), dtype=np.float32)
+    gt[:, 0] = [40, 40, 160, 160, 3]
+    pt = proposal_target(key, jnp.asarray(rois), jnp.asarray(gt),
+                         rois_per_image=8, bg_thresh_lo=0.0)
+    labels = np.asarray(pt.labels)
+    assert (labels[0] == 3).sum() == 1 and (labels[0] == 0).sum() == 7
+    # image 1: every valid candidate is fg (zero-area pad rows join neither
+    # pool) → the single-pool with-replacement fg path fills all slots
+    # (l.169-180 semantics)
+    assert (labels[1] == 3).all()
