@@ -204,7 +204,11 @@ def _bench_infer(model, params, batch, batch_size):
     from rlobjectdetection_tpu.engine import postprocess_detections
 
     @jax.jit
-    def infer(p, data, im_info):
+    def infer(p, data, im_info, token):
+        # the token chains each iteration to the previous one's output so the
+        # final value fetch transitively requires every prior execution — the
+        # same cannot-lie sync train/RL get from their loop-carried state
+        data = jax.lax.optimization_barrier((data, token))[0]
         out = model.apply({"params": p}, data, im_info, train=False)
 
         def per_image(rois, cls_prob, bbox_pred, info, valid):
@@ -213,17 +217,25 @@ def _bench_infer(model, params, batch, batch_size):
                 num_classes=81, max_per_image=100, nms_thresh=0.3,
             )
 
-        return jax.vmap(per_image)(out["rois"], out["cls_prob"],
-                                   out["bbox_pred"], im_info, out["roi_valid"])
+        res = jax.vmap(per_image)(out["rois"], out["cls_prob"],
+                                  out["bbox_pred"], im_info, out["roi_valid"])
+        return res, res[0].ravel()[0].astype(jnp.float32)
 
     data, info = batch["data"], batch["im_info"]
+    holder = {"token": jnp.float32(0.0)}
+
+    def run_once():
+        res, holder["token"] = infer(params, data, info, holder["token"])
+        return res
+
     # steps are ~10 ms at bs1 — use a wide window so one dispatch hiccup over
     # the tunneled backend cannot dominate the measurement
     _measure_and_report("infer_images_per_sec_per_chip_res101_coco800",
-                        lambda: infer(params, data, info),
+                        run_once,
                         lambda r: float(jnp.asarray(r[0]).ravel()[0]),
                         batch_size, iters=300,
-                        step_flops=_xla_flops(infer, params, data, info))
+                        step_flops=_xla_flops(infer, params, data, info,
+                                              jnp.float32(0.0)))
 
 
 def _gt(rng, b, g, h, w):

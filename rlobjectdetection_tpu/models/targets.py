@@ -41,11 +41,13 @@ def _random_keep(key, mask: jnp.ndarray, budget, k_max: int) -> jnp.ndarray:
     k_max = min(k_max, mask.shape[-1])   # tiny inputs: pool < k_max
     u = jax.random.uniform(key, mask.shape)
     pri = jnp.where(mask, u, BIG_NEG)
-    top_vals = jax.lax.top_k(pri, k_max)[0]
+    top_vals, top_idx = jax.lax.top_k(pri, k_max)
     budget = jnp.clip(budget, 0, k_max)
-    cutoff = top_vals[jnp.maximum(budget - 1, 0)]
-    # budget > mask.sum(): cutoff is BIG_NEG and every True element survives
-    return mask & (pri >= cutoff) & (budget > 0)
+    # Scatter the selected indices (distinct by construction) rather than
+    # thresholding on the cutoff VALUE — float32 uniforms can tie at the
+    # cutoff, and a value threshold would then keep budget+1 elements.
+    sel = (jnp.arange(k_max) < budget) & (top_vals > BIG_NEG / 2)
+    return jnp.zeros_like(mask).at[top_idx].set(sel, mode="drop")
 
 
 class AnchorTargets(NamedTuple):

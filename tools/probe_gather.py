@@ -98,7 +98,6 @@ def main():
         return combine(out[..., 0, 0, :], out[..., 0, 1, :],
                        out[..., 1, 0, :], out[..., 1, 1, :])
 
-    import jax
 
     for name, fn in [("A_4xrow", v_a), ("B_2xpair", v_b), ("C_patch", v_c)]:
         fwd = jax.jit(fn)

@@ -45,13 +45,9 @@ def main():
             g = jax.grad(lambda pp: base.apply(pp, x).astype(jnp.float32).sum())(p)
             return sum(l.astype(jnp.float32).ravel()[0] for l in jax.tree_util.tree_leaves(g))
 
-        try:
-            cost = fwdbwd.lower(params, img).compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-        except Exception:
-            flops = 0.0
+        from bench import _xla_flops
+
+        flops = _xla_flops(fwdbwd, params, img) or 0.0
         for _ in range(3):
             out = fwdbwd(params, img)
         float(out)

@@ -152,8 +152,12 @@ def main():
         batched_post = jax.jit(jax.vmap(postprocess_one))
         plan = eval_bucket_plan(roidb, cfg.TEST.SCALES[0], args.batch)
         for idxs, hw in plan:
-            shape_buckets[hw] = shape_buckets.get(hw, 0) + len(idxs)
             batch = loader._assemble(idxs, 1.0, pad_hw=hw, pad_count=args.batch)
+            # record the shape actually assembled — _assemble can grow past the
+            # planned canvas on a rounding under-prediction, and the compile
+            # audit below must count the shape that really compiled
+            real_hw = tuple(batch["data"].shape[1:3])
+            shape_buckets[real_hw] = shape_buckets.get(real_hw, 0) + len(idxs)
             t0 = time.time()
             out = forward(
                 {"params": params}, jnp.asarray(batch["data"]),
