@@ -26,8 +26,20 @@ class AsyncLoader:
     keeps `prefetch` finished batches queued, yields in plan order."""
 
     def __init__(self, loader, num_workers: int = 4, prefetch: int = 2):
+        import os
+
+        # Clamp to schedulable cores: concurrent _assemble jobs on an
+        # oversubscribed core collapse throughput (measured on a 1-core host:
+        # serial 43 img/s, nw=1 48, nw=2 31, nw=4 9 — cache/allocator thrash
+        # on the ~27 MB batch blobs). One worker still wins over serial there
+        # because assembly overlaps the consumer; real TPU hosts have enough
+        # cores that the requested count passes through (tools/bench_loader.py).
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:
+            cores = os.cpu_count() or 1
         self.loader = loader
-        self.num_workers = max(1, num_workers)
+        self.num_workers = max(1, min(num_workers, cores))
         self.prefetch = max(1, prefetch)
 
     def __len__(self):
