@@ -35,7 +35,8 @@ def main():
                                               make_train_step)
     from rlobjectdetection_tpu.models import FasterRCNN
 
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)
+    infer_mode = "--infer" in sys.argv
     cfg = Config(ANCHOR_SCALES=(4, 8, 16, 32), MAX_NUM_GT_BOXES=50)
     h, w, g = 800, 1216, 50
     model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
@@ -54,9 +55,25 @@ def main():
                    batch["num_boxes"], train=True)["params"],
         "resnet101", base_lr=0.01)
     state = create_train_state(model, tx, batch)
-    step = make_train_step(model, tx)
 
     key = jax.random.PRNGKey(7)
+    if infer_mode:
+        from rlobjectdetection_tpu.engine import postprocess_detections
+
+        @jax.jit
+        def infer_fn(p, data, im_info):
+            out = model.apply({"params": p}, data, im_info, train=False)
+            return jax.vmap(lambda r, c, b2, i, v: postprocess_detections(
+                r, c, b2, i, v, num_classes=81, max_per_image=100,
+                nms_thresh=0.3))(out["rois"], out["cls_prob"],
+                                 out["bbox_pred"], im_info, out["roi_valid"])
+
+        def step(s, b, k):
+            return s, {"loss": infer_fn(s.params, b["data"], b["im_info"]
+                                        )[0].ravel()[0]}
+    else:
+        step = make_train_step(model, tx)
+
     for i in range(3):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
     float(metrics["loss"])
