@@ -187,3 +187,27 @@ def test_frozen_prefix_gradients_are_zero():
                    for l in jax.tree_util.tree_leaves(grads[k])), k
     assert any(np.any(np.asarray(l) != 0)
                for k in live for l in jax.tree_util.tree_leaves(grads[k]))
+
+
+@pytest.mark.parametrize("pooling_mode", ["pool", "crop"])
+def test_forward_pool_and_crop_modes(pooling_mode):
+    # the align path runs everywhere else; this pins the POOLING_MODE dispatch
+    # (faster_rcnn.py:72-83 parity) end-to-end through the model for the other
+    # two kernels (op-level oracles live in tests/test_roi_ops.py)
+    cfg = dataclasses.replace(tiny_cfg(), POOLING_MODE=pooling_mode)
+    model = FasterRCNN(num_classes=4, backbone="tiny", cfg=cfg)
+    batch = _batch()
+    variables = jit_init(
+        model, jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]), train=False
+    )
+    out = jax.jit(model.apply, static_argnames="train")(
+        variables, jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]),
+        train=False,
+    )
+    b = batch["data"].shape[0]
+    r = cfg.TEST.RPN_POST_NMS_TOP_N
+    assert out["cls_prob"].shape == (b, r, 4)
+    probs = np.asarray(out["cls_prob"])
+    assert np.isfinite(probs).all()
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+    assert np.isfinite(np.asarray(out["bbox_pred"])).all()
