@@ -4,9 +4,11 @@ Rebuild of /root/reference/lib/roi_data_layer/roibatchLoader.py + the batch
 sampler (RCNN_bases/trainval_net.py:123-146): images sorted by aspect ratio;
 each batch is a contiguous block with one target ratio (leftmost ratio if the
 block is all-tall, rightmost if all-wide, 1.0 if it straddles, l.38-54); images
-needing crop get a gt-aware random crop window (l.88-158); every image is then
-zero-padded to the batch's target-ratio canvas (l.160-186); gt boxes fixed-pad
-to MAX_NUM_GT_BOXES (l.193-197).
+needing crop get a gt-aware random crop window (l.88-158); tall/wide batches
+zero-pad to the target-ratio canvas while ratio-1.0 straddle batches crop every
+image to the top-left min(h, w) square (l.160-186), with training im_info
+reporting the canvas dims (l.169-186); gt boxes fixed-pad to MAX_NUM_GT_BOXES
+(l.193-197).
 
 TPU redesign: instead of the reference's per-sample torch Dataset + collate,
 batches are assembled host-side into NHWC numpy blobs whose padded H×W is
@@ -20,7 +22,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .minibatch import PIXEL_MEANS_BGR, pad_gt_boxes, pad_shape, prep_im_for_blob, read_image_bgr
+from .minibatch import load_entry_image_gt, pad_gt_boxes, pad_shape
 
 
 class DetectionBatch(dict):
@@ -116,20 +118,21 @@ class RoiBatchLoader:
 
     def _load_one(self, index: int, target_ratio: float, rng):
         entry = self.roidb[index]
-        im = read_image_bgr(entry["image"])
-        if entry.get("flipped", False):
-            im = im[:, ::-1, :]
-        scale = self.scales[rng.randint(0, len(self.scales))]
-        im, im_scale = prep_im_for_blob(im, PIXEL_MEANS_BGR, scale)
-
-        gt_inds = np.where(entry["gt_classes"] != 0)[0]
-        gt_boxes = np.zeros((len(gt_inds), 5), dtype=np.float32)
-        gt_boxes[:, :4] = entry["boxes"][gt_inds, :].astype(np.float32) * im_scale
-        gt_boxes[:, 4] = entry["gt_classes"][gt_inds]
+        im, gt_boxes, im_scale = load_entry_image_gt(entry, self.scales, rng)
         rng.shuffle(gt_boxes)
 
         if self.training and entry.get("need_crop", 0):
             im, gt_boxes = _crop_to_ratio(im, gt_boxes, target_ratio, rng)
+
+        if self.training and target_ratio == 1.0:
+            # straddle batch (ratios span 1.0): the reference crops EVERY image
+            # to the top-left min(h, w) square and clamps gt to [0, trim] —
+            # note trim, not trim-1, its quirk (roibatchLoader.py:180-186)
+            trim = min(im.shape[0], im.shape[1])
+            im = im[:trim, :trim]
+            if gt_boxes.shape[0]:
+                gt_boxes = gt_boxes.copy()
+                gt_boxes[:, :4] = np.clip(gt_boxes[:, :4], 0, trim)
 
         # drop degenerate boxes after crop (roibatchLoader.py:189-191)
         keep = (gt_boxes[:, 0] != gt_boxes[:, 2]) & (gt_boxes[:, 1] != gt_boxes[:, 3])
@@ -165,7 +168,14 @@ class RoiBatchLoader:
         im_info = np.tile(np.array([ph, pw, 1.0], dtype=np.float32), (n, 1))
         for i, im in enumerate(ims):
             blob[i, : im.shape[0], : im.shape[1]] = im
-            im_info[i] = (im.shape[0], im.shape[1], scales[i])
+            if self.training:
+                # the reference reports the PADDED canvas as im_info during
+                # training (roibatchLoader.py:169-178, 185-186): anchors over
+                # the zero-pad region stay valid negative candidates and
+                # proposals clip to the canvas, not the image
+                im_info[i] = (ph, pw, scales[i])
+            else:
+                im_info[i] = (im.shape[0], im.shape[1], scales[i])
         gt_pad, num = pad_gt_boxes(gts + [np.zeros((0, 5), np.float32)] * (n - len(ims)),
                                    self.max_num_gt)
         return DetectionBatch(

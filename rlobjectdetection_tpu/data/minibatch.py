@@ -70,6 +70,22 @@ def im_list_to_blob(ims, multiple: int = 32) -> np.ndarray:
     return blob
 
 
+def load_entry_image_gt(entry, scales, rng):
+    """Per-entry image/gt prep shared by get_minibatch and RoiBatchLoader:
+    read + flip + random-scale-pick + BGR-mean resize, gt from non-background
+    classes scaled to image coords. Returns (im, gt_boxes [G, 5], im_scale)."""
+    im = read_image_bgr(entry["image"])
+    if entry.get("flipped", False):
+        im = im[:, ::-1, :]
+    scale = scales[rng.randint(0, len(scales))]
+    im, im_scale = prep_im_for_blob(im, PIXEL_MEANS_BGR, scale)
+    gt_inds = np.where(entry["gt_classes"] != 0)[0]
+    gt_boxes = np.zeros((len(gt_inds), 5), dtype=np.float32)
+    gt_boxes[:, :4] = entry["boxes"][gt_inds, :].astype(np.float32) * im_scale
+    gt_boxes[:, 4] = entry["gt_classes"][gt_inds]
+    return im, gt_boxes, im_scale
+
+
 def get_minibatch(roidb_entries, scales, num_classes=None, multiple: int = 32,
                   rng: np.random.RandomState | None = None):
     """Single/multi-image minibatch (minibatch.py:21-56): scale sampled per
@@ -82,18 +98,9 @@ def get_minibatch(roidb_entries, scales, num_classes=None, multiple: int = 32,
     im_scales = []
     gt_list = []
     for entry in roidb_entries:
-        im = read_image_bgr(entry["image"])
-        if entry.get("flipped", False):
-            im = im[:, ::-1, :]
-        scale_ind = rng.randint(0, len(scales))
-        im, im_scale = prep_im_for_blob(im, PIXEL_MEANS_BGR, scales[scale_ind])
+        im, gt_boxes, im_scale = load_entry_image_gt(entry, scales, rng)
         ims.append(im)
         im_scales.append(im_scale)
-
-        gt_inds = np.where(entry["gt_classes"] != 0)[0]
-        gt_boxes = np.empty((len(gt_inds), 5), dtype=np.float32)
-        gt_boxes[:, 0:4] = entry["boxes"][gt_inds, :] * im_scale
-        gt_boxes[:, 4] = entry["gt_classes"][gt_inds]
         gt_list.append(gt_boxes)
 
     blob = im_list_to_blob(ims, multiple)

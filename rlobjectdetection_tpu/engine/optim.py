@@ -24,8 +24,6 @@ from ..models.backbones.vgg import vgg_param_trainable
 def param_labels(params, backbone: str, fixed_blocks: int = 1):
     """Label each param leaf 'frozen' | 'weight' | 'bias'."""
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def label_of(path):
         keys = tuple(
             p.key if hasattr(p, "key") else str(p) for p in path

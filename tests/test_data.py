@@ -253,3 +253,48 @@ def test_loader_need_crop(tmp_path):
             assert (g[:, 2] <= batch["im_info"][i, 1]).all()
     finally:
         os.environ.pop("RLOD_DATA_DIR", None)
+
+
+def test_loader_straddle_square_crop_and_canvas_im_info():
+    """A ratio-1.0 straddle batch crops every image to the top-left min(h, w)
+    square (roibatchLoader.py:180-186) and training im_info reports the padded
+    canvas dims (l.169-186), not the image dims."""
+    import os
+    import numpy as np
+    from PIL import Image
+
+    root = "/tmp/straddle_fixture"
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    roidb = []
+    # one tall (ratio<1) + one wide (ratio>1) image → the bs2 block straddles 1.0
+    for i, (h, w) in enumerate([(200, 160), (160, 200)]):
+        p = os.path.join(root, f"s{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(p)
+        roidb.append({
+            "image": p, "flipped": False,
+            "boxes": np.array([[5, 5, w - 10, h - 10]], dtype=np.uint16),
+            "gt_classes": np.array([1], dtype=np.int32),
+            "width": w, "height": h, "need_crop": 0,
+        })
+    ratios = np.array([160 / 200, 200 / 160])
+    order = np.array([0, 1])
+    loader = RoiBatchLoader(roidb, ratios, order, batch_size=2,
+                            scales=(160,), max_num_gt=5)
+    assert loader.batch_ratios[0] == 1.0
+    batch = next(iter(loader))
+    # both images scale to short-side 160 then crop to a 160x160 square →
+    # quantized canvas 160x160, and im_info carries the canvas
+    assert batch["data"].shape[1:3] == (160, 160)
+    np.testing.assert_allclose(batch["im_info"][:, :2], 160.0)
+    # gt clamped inside the square (the reference clamps to [0, trim])
+    g = batch["gt_boxes"]
+    n = batch["num_boxes"]
+    for i in range(2):
+        assert (g[i][: n[i], :4] <= 160).all()
+
+    # eval mode keeps the true image dims in im_info
+    ev = RoiBatchLoader(roidb, ratios, order, batch_size=1, scales=(160,),
+                        max_num_gt=5, training=False)
+    b0 = next(iter(ev))
+    assert b0["im_info"][0, 0] == 200 * (160 / 160)  # tall image: h=200 @ scale 1
