@@ -72,7 +72,10 @@ def _crop_to_ratio(im, gt_boxes, ratio, rng):
         gt_boxes = gt_boxes.copy()
         gt_boxes[:, 1] = np.clip(gt_boxes[:, 1] - y_s, 0, trim - 1)
         gt_boxes[:, 3] = np.clip(gt_boxes[:, 3] - y_s, 0, trim - 1)
-    elif ratio > 1:
+    else:
+        # ratio >= 1 — the reference's else branch (roibatchLoader.py:125):
+        # at exactly 1.0 (straddle batch) a wide need_crop image still gets
+        # this gt-aware width crop BEFORE the unconditional square crop
         min_x = int(gt_boxes[:, 0].min())
         max_x = int(gt_boxes[:, 2].max())
         trim = min(int(np.ceil(h * ratio)), w)
@@ -109,6 +112,11 @@ class RoiBatchLoader:
         self.training = training
         self.rng = np.random.RandomState(seed)
         self.batch_ratios = compute_batch_ratios(ratio_list, batch_size)
+        # training drops the len % batch_size tail each epoch (drop_last): the
+        # reference sampler emits those as one short leftover batch
+        # (trainval_net.py:139-146), but a ragged batch would break both the
+        # fixed-shape compile set and DP mesh divisibility here; eval keeps
+        # every image (short final batch allowed)
         self.num_batches = len(roidb) // batch_size if training else int(
             np.ceil(len(roidb) / batch_size)
         )

@@ -61,19 +61,21 @@ def get_weights_statistics(imgIds, catIds, dt_boxes, gt_boxes, bbox_action,
     (pos_tot, neg_tot, pos_weights, neg_weights) where *_tot are label counts
     and *_weights are sums of wtrans(ΔIoU) over those labels.
 
-    By default this is a FULL pass over every detection — the reference's
-    statistic (it ran this with 32 processes, trainval_net.py:61-66).
-    `maxDets` optionally subsamples to bound startup cost; that CHANGES the
-    statistic (a uniform sample of the pos/neg mass) and is off by default.
+    The reference call site subsamples with shuffle=True, maxDets=5000
+    (RL_coco_dataset.py:63-66) — a uniform sample of the pos/neg mass that
+    bounds startup cost; COCODataset passes 5000 by default for call-site
+    parity. `maxDets=None` runs the FULL pass instead (the exact statistic).
     `num_workers` > 1 splits the pass across threads (the IoU math is numpy,
     which releases the GIL); the counts are identical for any worker count and
     the weight sums equal up to float-addition reassociation.
     """
     rng = np.random.RandomState(3)
-    wanted = {(i, c) for i in imgIds for c in catIds}
     # iterate existing keys only — probing the caller's defaultdict for the
-    # full imgIds×catIds product would insert millions of empty lists
-    flat = [(key, dt) for key, dts in dt_boxes.items() if key in wanted
+    # full imgIds×catIds product would insert millions of empty lists (and a
+    # materialized product set costs ~1 GB on train2014)
+    img_set, cat_set = set(imgIds), set(catIds)
+    flat = [(key, dt) for key, dts in dt_boxes.items()
+            if key[0] in img_set and key[1] in cat_set
             for dt in dts]
     if shuffle:
         rng.shuffle(flat)
@@ -135,7 +137,7 @@ class COCODataset:
 
     def __init__(self, root_dir, ann_file, dt_file, bbox_action,
                  transform_fn=None, normalize_mean=None, normalize_std=None,
-                 max_stat_dets: int | None = None, stat_workers: int = 0):
+                 max_stat_dets: int | None = 5000, stat_workers: int = 0):
         self.root_dir = root_dir
         self.transform_fn = transform_fn
         self.normalize_mean = (
@@ -181,10 +183,13 @@ class COCODataset:
         bboxes_out = []
         labels_out = []
         for cat_id in self.catIds:
-            for dt_box in self.dt_boxes[img_id, cat_id]:
+            # .get, not [] — probing the defaultdicts for every (image,
+            # category) pair would permanently insert ~6.6M empty lists
+            # over a train2014 epoch
+            for dt_box in self.dt_boxes.get((img_id, cat_id), ()):
                 bbox = np.asarray(dt_box["bbox"], dtype=np.float64)
                 w, h = bbox[2], bbox[3]
-                gts = self.gt_boxes[img_id, cat_id]
+                gts = self.gt_boxes.get((img_id, cat_id), [])
                 gtb = [g["bbox"] for g in gts] or [[0, 0, 0, 0]]
                 iscrowd = [int(g.get("iscrowd", 0)) for g in gts] or [0]
                 origin = iou_xywh([bbox], gtb, iscrowd).max()
@@ -264,7 +269,11 @@ class COCODataLoader:
         max_h = max(s[0].shape[0] for s in samples)
         max_w = max(s[0].shape[1] for s in samples)
         ph, pw = pad_shape(max_h, max_w, self.pad_multiple)
+        # quantize the detection axis like the image axes: the raw per-batch
+        # max would give nearly every batch its own jitted shape (the repo's
+        # fixed-shape invariant; padded rows carry zero label weight either way)
         max_n = max(max(s[1].shape[0] for s in samples), 1)
+        max_n = -(-max_n // 16) * 16
         num_acts = self.dataset.bbox_action.num_acts
 
         imgs = np.zeros((b, ph, pw, 3), dtype=np.float32)

@@ -35,16 +35,23 @@ LAYER_SPECS = {
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm with frozen statistics and affine params (inference-only BN).
+    """BatchNorm with frozen statistics (inference-only normalization).
 
     Parameters live in the regular 'params' collection (so torch checkpoints map
-    1:1) but gradients are cut with stop_gradient, matching the reference's
-    requires_grad=False + perpetual eval() (resnet.py:261-284).
+    1:1) but gradients are cut with stop_gradient, matching the reference
+    detector's requires_grad=False + perpetual eval() (resnet.py:261-284).
+
+    `affine_trainable=True` lets gradients flow to scale/bias while statistics
+    stay frozen — the RL policy net's layer4, whose BN affine sits in the
+    reference optimizer's param groups (Reinforcement/resnet.py:139-147 freezes
+    only conv1..layer3). Its running-statistics *updates* are not replicated
+    (documented in PARITY.md).
     """
 
     features: int
     dtype: Any = jnp.float32
     eps: float = 1e-5
+    affine_trainable: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +59,9 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        scale, bias, mean, var = (lax.stop_gradient(t) for t in (scale, bias, mean, var))
+        mean, var = lax.stop_gradient(mean), lax.stop_gradient(var)
+        if not self.affine_trainable:
+            scale, bias = lax.stop_gradient(scale), lax.stop_gradient(bias)
         mul = (scale * lax.rsqrt(var + self.eps)).astype(self.dtype)
         add = (bias - mean * scale * lax.rsqrt(var + self.eps)).astype(self.dtype)
         return x * mul + add
@@ -87,6 +96,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     scan: bool = False   # scan mode: (carry, _) → (carry, None) for nn.scan
+    bn_affine_trainable: bool = False
 
     @nn.compact
     def __call__(self, x, _xs=None):
@@ -94,17 +104,19 @@ class Bottleneck(nn.Module):
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name,
         )
+        bn = lambda f, name: FrozenBatchNorm(
+            f, self.dtype, affine_trainable=self.bn_affine_trainable, name=name)
         out = conv(self.planes, 1, self.stride, "conv1")(x)
-        out = FrozenBatchNorm(self.planes, self.dtype, name="bn1")(out)
+        out = bn(self.planes, "bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, 1, "conv2")(out)
-        out = FrozenBatchNorm(self.planes, self.dtype, name="bn2")(out)
+        out = bn(self.planes, "bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * 4, 1, 1, "conv3")(out)
-        out = FrozenBatchNorm(self.planes * 4, self.dtype, name="bn3")(out)
+        out = bn(self.planes * 4, "bn3")(out)
         if self.downsample:
             sc = conv(self.planes * 4, 1, self.stride, "downsample_conv")(x)
-            sc = FrozenBatchNorm(self.planes * 4, self.dtype, name="downsample_bn")(sc)
+            sc = bn(self.planes * 4, "downsample_bn")(sc)
         else:
             sc = x
         y = nn.relu(out + sc)
@@ -125,13 +137,16 @@ class ResLayer(nn.Module):
     blocks: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_affine_trainable: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Bottleneck(self.planes, self.stride, downsample=True, dtype=self.dtype,
+                       bn_affine_trainable=self.bn_affine_trainable,
                        name="block0")(x)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, downsample=False, dtype=self.dtype,
+                           bn_affine_trainable=self.bn_affine_trainable,
                            name=f"block{i}")(x)
         return x
 
@@ -237,11 +252,14 @@ class ResNetHead(nn.Module):
     num_layers: int = 101
     dtype: Any = jnp.float32
     stride: int = 2  # RL policy net uses stride 1 (Reinforcement/resnet.py:120)
+    bn_affine_trainable: bool = False  # RL net trains layer4 BN affine
 
     @nn.compact
     def __call__(self, pooled):  # [R, P, P, 1024]
         specs = LAYER_SPECS[self.num_layers]
-        x = ResLayer(512, specs[3], self.stride, self.dtype, name="layer4")(pooled)
+        x = ResLayer(512, specs[3], self.stride, self.dtype,
+                     bn_affine_trainable=self.bn_affine_trainable,
+                     name="layer4")(pooled)
         return x.mean(axis=(1, 2))
 
 

@@ -34,8 +34,12 @@ class RLPolicyNet(nn.Module):
         # the entire backbone backward, as torch autograd does upstream.
         self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype,
                                frozen_stages=3)
+        # stride-1 layer4 (l.120); its BN affine TRAINS upstream —
+        # freeze_layer (l.139-147) covers only conv1..layer3, so layer4 BN
+        # weight/bias sit in the reference optimizer's param groups. Frozen
+        # running statistics (batch-stat updates not replicated — PARITY.md).
         self.head = ResNetHead(num_layers=self.num_layers, dtype=self.dtype,
-                               stride=1)   # stride-1 layer4 (l.120)
+                               stride=1, bn_affine_trainable=True)
         self.fc8 = nn.Dense(4096, dtype=self.dtype, name="fc8")
         self.fc = nn.Dense(self.num_acts, dtype=self.dtype, name="fc")
 

@@ -176,6 +176,14 @@ def test_rl_policy_net_forward_and_grad():
     gl = jax.tree_util.tree_leaves(g["fc"])
     assert any(np.abs(np.asarray(x)).sum() > 0 for x in gl)
 
+    # layer4 BN affine TRAINS (reference freeze_layer stops at layer3,
+    # Reinforcement/resnet.py:139-147): scale/bias grads nonzero, stats cut
+    bn = g["head"]["layer4"]["block0"]["bn1"]
+    assert np.abs(np.asarray(bn["scale"])).sum() > 0
+    assert np.abs(np.asarray(bn["bias"])).sum() > 0
+    assert np.abs(np.asarray(bn["mean"])).sum() == 0
+    assert np.abs(np.asarray(bn["var"])).sum() == 0
+
 
 def test_warm_start_from_detector():
     """The RL trunk warm-start must copy matching detector weights

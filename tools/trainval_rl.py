@@ -36,8 +36,10 @@ def parse_args():
                    help="override train/test short side (config.py train_img_short)")
     p.add_argument("--img_size", default=None, type=int,
                    help="override max size (config.py train_img_size)")
-    p.add_argument("--max_stat_dets", default=None, type=int,
-                   help="subsample the pos/neg weight statistic (default: full pass, the reference semantics)")
+    p.add_argument("--max_stat_dets", default=5000, type=int,
+                   help="subsample the pos/neg weight statistic (5000 = the "
+                        "reference call site, RL_coco_dataset.py:63-66; 0 = "
+                        "full exact pass)")
     p.add_argument("--stat_workers", default=8, type=int,
                    help="threads for the weight statistic (reference used 32 processes)")
     p.add_argument("--layers", default=101, type=int,
@@ -90,7 +92,8 @@ def main():
         cfg.data_dir, cfg.ann_file, cfg.dt_file, action,
         transform_fn=transform,
         normalize_mean=cfg.normalize_mean, normalize_std=cfg.normalize_std,
-        max_stat_dets=args.max_stat_dets, stat_workers=args.stat_workers,
+        max_stat_dets=args.max_stat_dets or None,   # 0 → full exact pass
+        stat_workers=args.stat_workers,
     )
     loader = COCODataLoader(dataset, args.batch_size, shuffle=(phase == "train"))
     log.info(f"dataset: {len(dataset)} images")
@@ -119,10 +122,10 @@ def main():
             keys = tuple(p.key for p in path)
             if keys[0] == "base":
                 return "frozen"
-            if any(k.startswith("bn") or k.endswith("_bn") for k in keys):
-                return "frozen"
             if keys[-1] in ("mean", "var"):
                 return "frozen"
+            # layer4 BN affine TRAINS upstream (freeze_layer stops at layer3):
+            # its weight joins the weight group, its bias the lr x2 bias group
             return "bias" if keys[-1] == "bias" else "weight"
 
         return _jax.tree_util.tree_map_with_path(lab, params)
@@ -206,14 +209,13 @@ def main():
             end = time.time()
             for it, batch in enumerate(loader):
                 data_time.update(time.time() - end)
-                mask = (np.arange(batch["bboxes"].shape[1])[None, :]
-                        < batch["num_dts"][:, None])
-                weights = batch["labels"][..., 2] * mask[..., None]
+                # collate zero-fills padded rows, so labels[..., 2] already
+                # carries zero weight there — no extra masking needed
                 raw = {
                     "data": np.asarray(batch["data"]),
                     "bboxes": np.asarray(batch["bboxes"]),
                     "targets": np.asarray(batch["labels"][..., 1]),
-                    "weights": np.asarray(weights),
+                    "weights": np.asarray(batch["labels"][..., 2]),
                 }
                 if raw["data"].shape[0] % n_dev == 0:
                     sb = shard_batch(mesh, raw)
@@ -254,22 +256,22 @@ def evaluate(args, cfg, dataset, loader, eval_step, params, action, log):
         ).reshape(batch["bboxes"].shape[0], batch["bboxes"].shape[1], -1)
         bboxes = batch["bboxes"]
         targets = batch["labels"][..., 1]
+        # move + precision over the FULL padded batch, as the reference
+        # Evaluate does (trainval_net.py:211): preck's denominator is
+        # batch_size*maxk including empty/padded images, AveMeter-averaged
+        # per batch — per-image averaging would not be comparable
+        xywh = bboxes[..., 1:5].copy()
+        xywh[..., 2] -= xywh[..., 0]
+        xywh[..., 3] -= xywh[..., 1]
+        moved_all, prec = action.move_from_act(xywh, pred, targets, args.maxk)
+        prec_sum += prec
+        prec_cnt += 1
         for i in range(bboxes.shape[0]):
             n = int(batch["num_dts"][i])
             if n == 0:
                 continue
-            xyxy = bboxes[i, :n, 1:5].copy()
             scale = float(batch["im_info"][i][2])
-            xywh = np.stack(
-                [xyxy[:, 0], xyxy[:, 1], xyxy[:, 2] - xyxy[:, 0], xyxy[:, 3] - xyxy[:, 1]],
-                axis=1,
-            )[None]
-            moved, prec = action.move_from_act(
-                xywh, pred[i : i + 1, :n], targets[i : i + 1, :n], args.maxk
-            )
-            prec_sum += prec
-            prec_cnt += 1
-            moved = moved[0] / scale
+            moved = moved_all[i, :n] / scale
             for k in range(n):
                 all_results.append(
                     {
