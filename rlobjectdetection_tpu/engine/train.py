@@ -91,13 +91,11 @@ def make_train_step(model: FasterRCNN, tx, skip_nonfinite: bool = False,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if skip_nonfinite:
-            from ..utils.guards import finite_mask
+            from ..utils.guards import finite_mask, skip_nonfinite_update
 
-            ok = finite_mask(grads)
-            keep_new = lambda old, new: jnp.where(ok, new, old)
-            params = jax.tree_util.tree_map(keep_new, state.params, params)
-            opt_state = jax.tree_util.tree_map(keep_new, state.opt_state, opt_state)
-            metrics["skipped"] = (~ok).astype(jnp.float32)
+            params, opt_state = skip_nonfinite_update(
+                state.params, params, grads, state.opt_state, opt_state)
+            metrics["skipped"] = (~finite_mask(grads)).astype(jnp.float32)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

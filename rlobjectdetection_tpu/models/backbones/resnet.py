@@ -95,11 +95,10 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
-    scan: bool = False   # scan mode: (carry, _) → (carry, None) for nn.scan
     bn_affine_trainable: bool = False
 
     @nn.compact
-    def __call__(self, x, _xs=None):
+    def __call__(self, x):
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name,
@@ -119,10 +118,7 @@ class Bottleneck(nn.Module):
             sc = bn(self.planes * 4, "downsample_bn")(sc)
         else:
             sc = x
-        y = nn.relu(out + sc)
-        if self.scan:
-            return y, None
-        return y
+        return nn.relu(out + sc)
 
 
 class ResLayer(nn.Module):

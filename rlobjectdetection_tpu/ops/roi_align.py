@@ -23,43 +23,39 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("aligned_height", "aligned_width", "spatial_scale"))
-def roi_align(features: jnp.ndarray, rois: jnp.ndarray, aligned_height: int = 7,
-              aligned_width: int = 7, spatial_scale: float = 1.0 / 16.0) -> jnp.ndarray:
-    """features: [B, H, W, C] (NHWC); rois: [R, 5] (batch_idx, x1, y1, x2, y2).
-
-    Returns [R, aligned_height, aligned_width, C].
-    """
-    b, h, w, c = features.shape
-    r = rois.shape[0]
-    ah, aw = aligned_height, aligned_width
-
+def roi_align_coords(rois, h, w, ah, aw, spatial_scale):
+    """Sample-point geometry shared by every ALIGN_IMPL (autodiff, cvjp,
+    pallas): corner row/col, bilinear ratios, inside-image mask — the single
+    source of the reference kernel's coordinate math
+    (roi_align_kernel.cu:24-56)."""
     batch_idx = rois[:, 0].astype(jnp.int32)
     x1 = rois[:, 1] * spatial_scale
     y1 = rois[:, 2] * spatial_scale
     x2 = rois[:, 3] * spatial_scale
     y2 = rois[:, 4] * spatial_scale
-
     roi_w = jnp.maximum(x2 - x1 + 1.0, 0.0)
     roi_h = jnp.maximum(y2 - y1 + 1.0, 0.0)
     bin_h = roi_h / (ah - 1.0)
     bin_w = roi_w / (aw - 1.0)
-
-    ph = jnp.arange(ah, dtype=jnp.float32)
-    pw = jnp.arange(aw, dtype=jnp.float32)
-    ys = ph[None, :] * bin_h[:, None] + y1[:, None]          # [R, AH]
-    xs = pw[None, :] * bin_w[:, None] + x1[:, None]          # [R, AW]
-
+    ys = jnp.arange(ah, dtype=jnp.float32)[None, :] * bin_h[:, None] + y1[:, None]
+    xs = jnp.arange(aw, dtype=jnp.float32)[None, :] * bin_w[:, None] + x1[:, None]
     hstart = jnp.minimum(jnp.floor(ys), h - 2.0)
     wstart = jnp.minimum(jnp.floor(xs), w - 2.0)
     h_ratio = ys - hstart                                     # [R, AH]
     w_ratio = xs - wstart                                     # [R, AW]
-    inside_y = (ys >= 0) & (ys < h)                           # [R, AH]
-    inside_x = (xs >= 0) & (xs < w)                           # [R, AW]
-
+    inside = ((ys >= 0) & (ys < h))[:, :, None] & ((xs >= 0) & (xs < w))[:, None, :]
     hs = jnp.clip(hstart.astype(jnp.int32), 0, h - 2)         # [R, AH]
     ws_ = jnp.clip(wstart.astype(jnp.int32), 0, w - 2)        # [R, AW]
+    return batch_idx, hs, ws_, h_ratio, w_ratio, inside
 
+
+def roi_align_impl(features, rois, ah, aw, spatial_scale):
+    """Unjitted forward core (shared verbatim with the custom-vjp path)."""
+    b, h, w, c = features.shape
+    r = rois.shape[0]
+    batch_idx, hs, ws_, h_ratio, w_ratio, inside = roi_align_coords(
+        rois, h, w, ah, aw, spatial_scale
+    )
     flat = features.reshape(b * h * w, c)
     base = (batch_idx * h)[:, None] + hs                      # [R, AH] row index into B*H
     idx_ul = base[:, :, None] * w + ws_[:, None, :]           # [R, AH, AW]
@@ -77,8 +73,18 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, aligned_height: int = 7,
         + g_dl * hr * (1.0 - wr)
         + g_dr * hr * wr
     )
-    inside = (inside_y[:, :, None] & inside_x[:, None, :])[..., None]
-    return jnp.where(inside, out, 0.0).astype(features.dtype)
+    return jnp.where(inside[..., None], out, 0.0).astype(features.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("aligned_height", "aligned_width", "spatial_scale"))
+def roi_align(features: jnp.ndarray, rois: jnp.ndarray, aligned_height: int = 7,
+              aligned_width: int = 7, spatial_scale: float = 1.0 / 16.0) -> jnp.ndarray:
+    """features: [B, H, W, C] (NHWC); rois: [R, 5] (batch_idx, x1, y1, x2, y2).
+
+    Returns [R, aligned_height, aligned_width, C].
+    """
+    return roi_align_impl(features, rois, aligned_height, aligned_width,
+                          spatial_scale)
 
 
 def roi_align_avg(features: jnp.ndarray, rois: jnp.ndarray, pooled_size: int = 7,

@@ -15,61 +15,18 @@ import functools
 import jax
 import jax.numpy as jnp
 
-
-def _coords(rois, h, w, ah, aw, spatial_scale):
-    batch_idx = rois[:, 0].astype(jnp.int32)
-    x1 = rois[:, 1] * spatial_scale
-    y1 = rois[:, 2] * spatial_scale
-    x2 = rois[:, 3] * spatial_scale
-    y2 = rois[:, 4] * spatial_scale
-    roi_w = jnp.maximum(x2 - x1 + 1.0, 0.0)
-    roi_h = jnp.maximum(y2 - y1 + 1.0, 0.0)
-    bin_h = roi_h / (ah - 1.0)
-    bin_w = roi_w / (aw - 1.0)
-    ys = jnp.arange(ah, dtype=jnp.float32)[None, :] * bin_h[:, None] + y1[:, None]
-    xs = jnp.arange(aw, dtype=jnp.float32)[None, :] * bin_w[:, None] + x1[:, None]
-    hstart = jnp.minimum(jnp.floor(ys), h - 2.0)
-    wstart = jnp.minimum(jnp.floor(xs), w - 2.0)
-    h_ratio = ys - hstart
-    w_ratio = xs - wstart
-    inside = ((ys >= 0) & (ys < h))[:, :, None] & ((xs >= 0) & (xs < w))[:, None, :]
-    hs = jnp.clip(hstart.astype(jnp.int32), 0, h - 2)
-    ws_ = jnp.clip(wstart.astype(jnp.int32), 0, w - 2)
-    return batch_idx, hs, ws_, h_ratio, w_ratio, inside
+from .roi_align import roi_align_coords, roi_align_impl
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def roi_align_cvjp(features, rois, aligned_height=7, aligned_width=7,
                    spatial_scale=1.0 / 16.0):
-    return _fwd_impl(features, rois, aligned_height, aligned_width, spatial_scale)
-
-
-def _fwd_impl(features, rois, ah, aw, spatial_scale):
-    b, h, w, c = features.shape
-    r = rois.shape[0]
-    batch_idx, hs, ws_, h_ratio, w_ratio, inside = _coords(
-        rois, h, w, ah, aw, spatial_scale
-    )
-    flat = features.reshape(b * h * w, c)
-    base = (batch_idx * h)[:, None] + hs
-    idx_ul = base[:, :, None] * w + ws_[:, None, :]
-    g_ul = jnp.take(flat, idx_ul.reshape(-1), axis=0).reshape(r, ah, aw, c)
-    g_ur = jnp.take(flat, (idx_ul + 1).reshape(-1), axis=0).reshape(r, ah, aw, c)
-    g_dl = jnp.take(flat, (idx_ul + w).reshape(-1), axis=0).reshape(r, ah, aw, c)
-    g_dr = jnp.take(flat, (idx_ul + w + 1).reshape(-1), axis=0).reshape(r, ah, aw, c)
-    hr = h_ratio[:, :, None, None]
-    wr = w_ratio[:, None, :, None]
-    out = (
-        g_ul * (1.0 - hr) * (1.0 - wr)
-        + g_ur * (1.0 - hr) * wr
-        + g_dl * hr * (1.0 - wr)
-        + g_dr * hr * wr
-    )
-    return jnp.where(inside[..., None], out, 0.0).astype(features.dtype)
+    return roi_align_impl(features, rois, aligned_height, aligned_width,
+                          spatial_scale)
 
 
 def _fwd(features, rois, ah, aw, spatial_scale):
-    out = _fwd_impl(features, rois, ah, aw, spatial_scale)
+    out = roi_align_impl(features, rois, ah, aw, spatial_scale)
     # zero-size carrier keeps the feature shape/dtype in the residuals as a
     # valid JAX type (dtype objects are not pytree leaves)
     return out, (jnp.zeros((0,) + features.shape, features.dtype), rois)
@@ -80,7 +37,7 @@ def _bwd(ah, aw, spatial_scale, res, g):
     b, h, w, c = carrier.shape[1:]
     dtype = carrier.dtype
     r = rois.shape[0]
-    batch_idx, hs, ws_, h_ratio, w_ratio, inside = _coords(
+    batch_idx, hs, ws_, h_ratio, w_ratio, inside = roi_align_coords(
         rois, h, w, ah, aw, spatial_scale
     )
     g = jnp.where(inside[..., None], g.astype(jnp.float32), 0.0)  # [R, AH, AW, C]

@@ -39,11 +39,13 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, pooled_height: int = 7,
 
     def one_chunk(chunk_rois):
         bi = chunk_rois[:, 0].astype(jnp.int32)
-        # C round() is half-away-from-zero, not jnp.round's half-to-even: with
-        # scale 1/16, integer coords at odd multiples of 8 land exactly on .5
-        # and must quantize up like the CUDA kernel. Coords are >= 0 here, so
-        # floor(x + 0.5) reproduces it.
-        cround = lambda x: jnp.floor(x * spatial_scale + 0.5).astype(jnp.int32)
+        # C round() is half-away-from-zero for BOTH signs, not jnp.round's
+        # half-to-even: with scale 1/16, integer coords at odd multiples of 8
+        # land exactly on .5 and must quantize away from zero like the CUDA
+        # kernel — sign(x)·floor(|x|+0.5) covers unclipped negative rois too.
+        cround = lambda x: (jnp.sign(x * spatial_scale)
+                            * jnp.floor(jnp.abs(x * spatial_scale) + 0.5)
+                            ).astype(jnp.int32)
         rs_w = cround(chunk_rois[:, 1])
         rs_h = cround(chunk_rois[:, 2])
         re_w = cround(chunk_rois[:, 3])

@@ -13,16 +13,30 @@ from __future__ import annotations
 import os
 
 
+_MULTIHOST_ENV_HINTS = (
+    "SLURM_PROCID", "OMPI_COMM_WORLD_RANK", "PMI_RANK",
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+)
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None):
-    """jax.distributed.initialize with SLURM-style env fallbacks."""
+               process_id: int | None = None) -> bool:
+    """jax.distributed.initialize with env auto-detection; True if initialized.
+
+    With no explicit args, any recognized multi-host launcher env (SLURM,
+    OMPI/mpirun, PMI, an explicit coordinator address) triggers JAX's own
+    auto-detecting initialize — silently running N independent single-host
+    jobs is the one unacceptable outcome. A plain single-process launch
+    (no hints) is a no-op.
+    """
     import jax
 
-    if coordinator_address is None and "SLURM_PROCID" not in os.environ and (
-        num_processes is None
-    ):
-        return  # single-process
+    if coordinator_address is None and num_processes is None:
+        if not any(v in os.environ for v in _MULTIHOST_ENV_HINTS):
+            return False  # single-process
+        jax.distributed.initialize()   # auto-detect from the launcher env
+        return True
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
@@ -31,6 +45,7 @@ def initialize(coordinator_address: str | None = None,
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+    return True
 
 
 def process_count() -> int:
@@ -51,6 +66,10 @@ def host_local_batch_slice(global_batch_size: int):
 
     n = jax.process_count()
     i = jax.process_index()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} hosts — the remainder would be silently dropped")
     per = global_batch_size // n
     return i * per, per
 

@@ -22,13 +22,21 @@ def finite_mask(tree) -> jnp.ndarray:
     return ok
 
 
-def skip_nonfinite_update(params, new_params, grads):
-    """Return new_params if grads are finite, else keep old params — a
-    fixed-shape 'skip bad step' policy usable inside jit."""
+def skip_nonfinite_update(params, new_params, grads,
+                          opt_state=None, new_opt_state=None):
+    """Fixed-shape 'skip bad step' policy usable inside jit.
+
+    Returns new_params if grads are finite, else the old params. Pass the
+    optimizer states too (returns a (params, opt_state) pair then): a
+    momentum/Adam state that already ingested an Inf gradient stays poisoned
+    forever if only the params roll back.
+    """
     ok = finite_mask(grads)
-    return jax.tree_util.tree_map(
-        lambda old, new: jnp.where(ok, new, old), params, new_params
-    )
+    keep = lambda old, new: jax.tree_util.tree_map(
+        lambda o, n: jnp.where(ok, n, o), old, new)
+    if opt_state is None:
+        return keep(params, new_params)
+    return keep(params, new_params), keep(opt_state, new_opt_state)
 
 
 def assert_finite(tree, name: str = "tree"):

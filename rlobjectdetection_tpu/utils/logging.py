@@ -14,10 +14,21 @@ import os
 from collections import deque
 
 
+def _process_rank() -> int:
+    if "SLURM_PROCID" in os.environ:
+        return int(os.environ["SLURM_PROCID"])
+    try:   # non-SLURM multi-host: the JAX process index, as documented
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 def init_log(name: str, level=logging.INFO):
     """Process-rank-aware logger (Reinforcement/utils.py:7-22): only rank 0
     emits (SLURM_PROCID, falling back to JAX process index)."""
-    rank = int(os.environ.get("SLURM_PROCID", 0))
+    rank = _process_rank()
     logger = logging.getLogger(name)
     logger.setLevel(level)
     if not logger.handlers:
@@ -26,7 +37,8 @@ def init_log(name: str, level=logging.INFO):
             logging.Formatter(f"rk{rank} %(asctime)s %(levelname)s %(message)s")
         )
         logger.addHandler(handler)
-    logger.addFilter(lambda record: rank == 0)
+    if not logger.filters:   # idempotent: repeat init_log must not stack filters
+        logger.addFilter(lambda record: _process_rank() == 0)
     return logger
 
 
@@ -79,11 +91,12 @@ class MetricsWriter:
         self._writer = None
         try:
             from tensorboardX import SummaryWriter
-
-            ensure_dir(log_dir)
-            self._writer = SummaryWriter(log_dir)
-        except Exception:
-            pass
+        except ImportError:
+            return   # metrics disabled when tensorboardX is absent
+        # real errors (unwritable log_dir, bad path) must surface, not
+        # silently disable every training curve
+        ensure_dir(log_dir)
+        self._writer = SummaryWriter(log_dir)
 
     def scalar_summary(self, tag: str, value, step: int):
         if self._writer:
