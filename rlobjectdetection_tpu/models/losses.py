@@ -34,7 +34,12 @@ def softmax_cross_entropy(logits, labels, valid_mask=None):
     faster_rcnn.py:104).
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # label-select as a one-hot reduction, not take_along_axis: the per-element
+    # gather lowers to a scalar-core loop on TPU (measured 5 ms/step at
+    # [8, 45600, 2] — the single most expensive non-conv op in the train step);
+    # the iota-compare one-hot fuses elementwise and is exact.
+    oh = jax.nn.one_hot(labels.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype)
+    ll = (logp * oh).sum(axis=-1)
     if valid_mask is None:
         return -ll.mean()
     valid = valid_mask.astype(jnp.float32)
