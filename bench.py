@@ -89,6 +89,7 @@ def main():
         MAX_NUM_GT_BOXES=50,
         REMAT=remat,
         CONV1_S2D="--s2d" in sys.argv,
+        CONV1_FUSED="--no-fused-stem" not in sys.argv,  # Pallas fused stem (DESIGN.md)
         ALIGN_IMPL=("cvjp" if "--cvjp" in sys.argv
                     else "pallas" if "--pallas-align" in sys.argv
                     else "autodiff"),

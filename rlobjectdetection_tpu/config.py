@@ -121,6 +121,7 @@ class Config:
     REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
     ALIGN_IMPL: str = "autodiff"     # autodiff | cvjp (sorted-scatter backward; compiles faster)
     CONV1_S2D: bool = False          # space-to-depth stem (identical numerics; measured slower on v5e)
+    CONV1_FUSED: bool = False        # Pallas fused stem (conv1+bn+relu+maxpool); TPU single-device only
 
 
 def _coerce(old: Any, new: Any, key: str) -> Any:

@@ -195,6 +195,29 @@ class Conv1S2D(nn.Module):
         return conv1_space_to_depth(x, kernel, self.dtype)
 
 
+class _Conv1Param(nn.Module):
+    """Holder exposing the canonical 'conv1/kernel' param for the fused-stem
+    path (same name/shape/init as the nn.Conv it replaces — checkpoints
+    interchange freely between the fused and plain stems)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+class _BN1Params(nn.Module):
+    """Holder exposing the 'bn1/{scale,bias,mean,var}' params for the fused
+    stem (same tree as FrozenBatchNorm; statistics folded in the kernel)."""
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (64,)),
+                self.param("bias", nn.initializers.zeros, (64,)),
+                self.param("mean", nn.initializers.zeros, (64,)),
+                self.param("var", nn.initializers.ones, (64,)))
+
+
 class ResNetBase(nn.Module):
     """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239).
 
@@ -209,6 +232,14 @@ class ResNetBase(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     conv1_s2d: bool = False
+    # Pallas fused stem (ops/stem_pallas.py): conv1+bn1+relu+ceil_max_pool in
+    # one kernel. Forward-only (the stem is frozen in every reference config
+    # and always sits behind the frozen_stages stop_gradient). Takes effect
+    # only on the TPU backend unless stem_interpret forces interpret mode
+    # (CPU tests); off-TPU and under GSPMD multi-device meshes the plain XLA
+    # stem below is the path.
+    conv1_fused: bool = False
+    stem_interpret: bool = False
     # RESNET.FIXED_BLOCKS: stages layer1..layerN are frozen (conv1/bn1 always).
     # Cutting the gradient at the frozen-prefix boundary lets XLA delete the
     # whole backward through those stages — the same pruning torch autograd
@@ -218,16 +249,28 @@ class ResNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         specs = LAYER_SPECS[self.num_layers]
         layer = nn.remat(ResLayer) if self.remat else ResLayer
-        if self.conv1_s2d:
-            x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
+        if self.conv1_fused and (self.stem_interpret
+                                 or jax.default_backend() == "tpu"):
+            from rlobjectdetection_tpu.ops.stem_pallas import fused_stem
+
+            kernel = _Conv1Param(name="conv1")()
+            scale, bias, mean, var = _BN1Params(name="bn1")()
+            x = fused_stem(x, kernel, scale, bias, mean, var,
+                           out_dtype=self.dtype, compute_dtype=self.dtype,
+                           interpret=self.stem_interpret)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                        use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
-        x = nn.relu(x)
-        x = ceil_max_pool(x)
+            if self.conv1_s2d:
+                x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
+            else:
+                x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                            use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+            x = ceil_max_pool(x)
         if self.frozen_stages == 0:
             x = lax.stop_gradient(x)
         x = layer(64, specs[0], 1, self.dtype, name="layer1")(x)

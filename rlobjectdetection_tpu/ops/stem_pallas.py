@@ -1,0 +1,244 @@
+"""Fused ResNet stem as a Pallas TPU kernel: conv1(7x7/2, pad 3, no bias)
++ frozen-BatchNorm affine + ReLU + ceil-mode 3x3/2 max-pool, in one pass.
+
+Why: XLA lowers the 3-channel 7x7 stem by padding C_in 3->128 on the MXU —
+a 42x FLOP waste that makes conv1 the single worst op in the train step
+(measured 4.9 ms at 4% MFU for bs8 800x1216, tools/trace_step.py). This
+kernel recasts the stem as a space-to-depth im2col matmul with contraction
+K = 4*4*12 = 192 (2 MXU passes instead of 49 padded ones) and fuses the
+whole conv->bn->relu->maxpool chain so the 4x-larger unpooled activation
+never round-trips HBM.
+
+Semantics parity (reference lib/model/faster_rcnn/resnet.py:110-115):
+  conv1 = Conv2d(3, 64, k=7, s=2, p=3, bias=False)
+  bn1   = frozen BatchNorm (constants; folded here into mul/add)
+  relu; maxpool = MaxPool2d(k=3, s=2, p=0, ceil_mode=True)
+The pooling edge uses a zero-fill identity instead of -inf: post-ReLU all
+real taps are >= 0, so max(real..., 0) == max(real...) whenever at least one
+real tap exists — true for every ceil-mode output cell.
+
+Derivation of the space-to-depth im2col (matches conv1_space_to_depth in
+models/backbones/resnet.py): with xp = x padded 3 top/left,
+  conv(i, j) = sum_{dy,dx<7,c} W[dy,dx,c] * xp[2i+dy, 2j+dx, c]
+writing dy = 2*δy + ph, dx = 2*δx + pw (δ in [0,4), parity in {0,1}) gives
+  conv(i, j) = sum_{δy,δx,k} W'[(δy,δx,k)] * xs[i+δy, k, j+δx]
+over the s2d tensor xs[R, k=(ph,pw,c), Wcol] = xp[2R+ph, 2Wcol+pw, c]; the
+(δy=3, ph=1) tap would be dy=7, so W is zero-padded to 8x8 first.
+
+The kernel is forward-only: conv1/bn1 are unconditionally frozen in the
+reference (resnet.py:250-266) and every `frozen_stages` setting places a
+stop_gradient at or after the stem, so no cotangent ever reaches it; the
+custom_vjp below makes that contract explicit.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md): xs keeps the 12 s2d
+channels on the SUBLANE axis and width on lanes so every im2col tap is a
+contiguous [12, OW] slice; row tiles overlap by 4 xs rows (conv halo) +
+1 conv row (pool halo), which plain BlockSpecs cannot express, so xs stays
+in ANY/HBM and the kernel double-buffers its own row-window DMA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def stem_out_shapes(h: int, w: int) -> tuple[int, int, int, int]:
+    """(conv_h, conv_w, pool_h, pool_w) of the stem for an HxW input."""
+    oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    ph = -(-(oh - 3) // 2) + 1
+    pw = -(-(ow - 3) // 2) + 1
+    return oh, ow, ph, pw
+
+
+def _pack_weight(kernel, compute_dtype):
+    """[7,7,3,64] conv kernel -> [64, 256] im2col matrix, rows (δy, δx, k16)
+    with k16 = ph*8 + (pw*3 + c) — the s2d channel order produced by _s2d
+    (channels 6,7,14,15 of each tap are zero: the (pw, c) group is padded
+    6->8 so the s2d tensor has 16 sublane-tile-aligned channels; K=256 is
+    exactly two MXU passes either way)."""
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))      # [8,8,3,64]
+    km = k8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+    km = jnp.pad(km.reshape(4, 4, 2, 6, 64), ((0, 0),) * 3 + ((0, 2), (0, 0)))
+    return km.reshape(256, 64).T.astype(compute_dtype)          # [64, 256]
+
+
+def _s2d(x, rows, ws, compute_dtype):
+    """[B,H,W,3] image -> [B, rows, 16, Ws] space-to-depth tensor (channel on
+    the second-minor axis, width on lanes), zero-padded to the tile grid.
+
+    Channel k16 = ph*8 + pw*3 + c (6,7,14,15 zero). Built flat-first so no
+    intermediate has a sub-128 minor dimension (XLA tiles the minor dim to
+    128; a [..., W, 3] intermediate would be physically 42x padded — the
+    naive pad/transpose chain measured 5.2 ms of copies at bs8 800x1216,
+    vs ~0.4 ms for this form): cast+pad on [B, H, W*3], one last-two-dims
+    transpose [Ws, 6] -> [6, Ws], and a fusable 6->8 pad."""
+    b, h, w, c = x.shape
+    xf = x.reshape(b, h, w * c).astype(compute_dtype)
+    # rows: 3-px top border then bottom to the tile grid; flat cols: 3 px
+    # (9 elements) left border then right to the Ws window extent
+    xfp = jnp.pad(xf, ((0, 0), (3, 2 * rows - 3 - h),
+                       (9, ws * 2 * c - 9 - w * c)))
+    v = xfp.reshape(b, rows, 2, ws, 2 * c).transpose(0, 1, 2, 4, 3)
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, 2), (0, 0)))   # 6 -> 8
+    return v.reshape(b, rows, 16, ws)
+
+
+def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
+                 xs_buf, ybuf, r256, sem, *, nt, total, tp, rws, oh, ow, pw,
+                 out_dtype):
+    th = 2 * tp + 1
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    step = b * nt + t
+
+    def dma(slot, bb, tt):
+        return pltpu.make_async_copy(
+            xs_hbm.at[bb, pl.ds(tt * 2 * tp, rws)],
+            xs_buf.at[pl.ds(slot * rws, rws)],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, b, t).start()
+
+    nxt = step + 1
+
+    @pl.when(nxt < total)
+    def _():
+        dma(nxt % 2, nxt // nt, nxt % nt).start()
+
+    dma(step % 2, b, t).wait()
+    base = (step % 2) * rws
+
+    wm = wm_ref[:]
+    mul = mul_ref[:]
+    add = add_ref[:]
+    # conv + bn + relu for the tile's 2*tp+1 rows (pool halo row included).
+    # The im2col matrix is assembled tap-by-tap through the r256 scratch —
+    # Mosaic's concatenate cannot splice sublane pieces with mixed lane-shift
+    # layouts, but individual relayout stores are fine.
+    for r in range(th):
+        i = 0
+        for dy in range(4):
+            for dx in range(4):
+                r256[16 * i:16 * (i + 1), :] = \
+                    xs_buf[base + r + dy, :, dx:dx + ow]
+                i += 1
+        y = lax.dot_general(wm, r256[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [64, OW]
+        y = jnp.maximum(y * mul + add, 0.0)
+        grow = t * 2 * tp + r
+        y = jnp.where(grow < oh, y, 0.0)   # rows past conv output: identity-0
+        ybuf[r] = y
+
+    # ceil-mode 3x3/2 max-pool; width taps via zero-fill shifts (identity
+    # post-ReLU), stride-2 compaction + transpose in one MXU selection matmul
+    sel = sel_ref[:]
+    for p in range(tp):
+        rm = jnp.maximum(jnp.maximum(ybuf[2 * p], ybuf[2 * p + 1]),
+                         ybuf[2 * p + 2])
+        z1 = jnp.concatenate([rm[:, 1:], jnp.zeros((64, 1), rm.dtype)], axis=1)
+        z2 = jnp.concatenate([rm[:, 2:], jnp.zeros((64, 2), rm.dtype)], axis=1)
+        m = jnp.maximum(jnp.maximum(rm, z1), z2).astype(sel.dtype)
+        outp = lax.dot_general(sel, m, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [PW, 64]
+        out_ref[0, p] = outp.astype(out_dtype)
+
+
+def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
+    out_dtype, compute_dtype, tp, interpret, eps = static
+    out_dtype = jnp.dtype(out_dtype)
+    compute_dtype = jnp.dtype(compute_dtype)
+    b, h, w, _ = x.shape
+    oh, ow, phh, pww = stem_out_shapes(h, w)
+    nt = -(-phh // tp)
+    rows = 2 * tp * nt + 4
+    # DMA windows must be lane-tile-aligned on the minor dim: pad Ws to 128
+    ws = -(-(ow + 3) // 128) * 128
+    rws = 2 * tp + 4
+    th = 2 * tp + 1
+
+    xs = _s2d(x, rows, ws, compute_dtype)
+    wm = _pack_weight(kernel, compute_dtype)
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps)
+    mul = (scale.astype(jnp.float32) * inv).reshape(64, 1)
+    add = (bias.astype(jnp.float32)
+           - mean.astype(jnp.float32) * scale.astype(jnp.float32) * inv
+           ).reshape(64, 1)
+    # 0/1 selection matrix: sel[i, q] = (i == 2q) — compacts the 3-tap width
+    # max to stride-2 cells AND transposes [64, OW] -> [PW, 64] on the MXU
+    sel = (np.arange(ow)[:, None] == 2 * np.arange(pww)[None, :])
+    sel = jnp.asarray(sel, dtype=compute_dtype)
+
+    kern = partial(_stem_kernel, nt=nt, total=b * nt, tp=tp, rws=rws,
+                   oh=oh, ow=ow, pw=pww, out_dtype=out_dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # xs (HBM)
+            pl.BlockSpec((64, 256), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),              # wm
+            pl.BlockSpec((64, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),              # mul
+            pl.BlockSpec((64, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),              # add
+            pl.BlockSpec((ow, pww), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),              # sel
+        ],
+        out_specs=pl.BlockSpec((1, tp, pww, 64), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nt * tp, pww, 64), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * rws, 16, ws), compute_dtype),       # xs_buf
+            pltpu.VMEM((th, 64, ow), jnp.float32),              # ybuf
+            pltpu.VMEM((256, ow), compute_dtype),               # r256 (im2col)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xs, wm, mul, add, sel)
+    return out[:, :phh]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_stem(static, x, kernel, scale, bias, mean, var):
+    return _fused_stem_impl(static, x, kernel, scale, bias, mean, var)
+
+
+def _fused_stem_fwd(static, x, kernel, scale, bias, mean, var):
+    return _fused_stem_impl(static, x, kernel, scale, bias, mean, var), None
+
+
+def _fused_stem_bwd(static, residuals, g):
+    raise NotImplementedError(
+        "fused_stem is forward-only: conv1/bn1 are frozen in every reference "
+        "configuration (resnet.py:250-266); a stop_gradient must sit between "
+        "the stem and any trainable parameter."
+    )
+
+
+_fused_stem.defvjp(_fused_stem_fwd, _fused_stem_bwd)
+
+
+def fused_stem(x, kernel, scale, bias, mean, var, *, out_dtype=jnp.bfloat16,
+               compute_dtype=jnp.bfloat16, tile_rows=8, interpret=False,
+               eps=1e-5):
+    """conv1(7x7/2) + frozen-BN + ReLU + ceil-maxpool(3x3/2) in one kernel.
+
+    x: [B, H, W, 3] float; kernel: [7, 7, 3, 64] (HWIO, the canonical
+    'conv1/kernel' param); scale/bias/mean/var: [64] frozen bn1 params.
+    Returns [B, PH, PW, 64] in out_dtype, PH/PW per `stem_out_shapes`.
+    """
+    assert x.shape[-1] == 3 and kernel.shape == (7, 7, 3, 64), (
+        "fused_stem is specialized to the 3->64 7x7 ResNet stem")
+    static = (jnp.dtype(out_dtype).name, jnp.dtype(compute_dtype).name,
+              int(tile_rows), bool(interpret), float(eps))
+    return _fused_stem(static, x, kernel, scale, bias, mean, var)

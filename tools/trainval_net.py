@@ -110,6 +110,14 @@ def main():
         cfg = cfg_update(cfg, {"POOLING_MODE": args.pooling_mode})
     np.random.seed(cfg.RNG_SEED)
 
+    # Pallas fused stem (ops/stem_pallas.py): auto-enable on a single-device
+    # TPU run — it has no GSPMD partitioning rule, so multi-device meshes keep
+    # the XLA stem. Explicit `--set CONV1_FUSED ...` wins.
+    if (not any("CONV1_FUSED" in str(s) for s in (args.set_cfgs or []))
+            and jax.default_backend() == "tpu" and jax.process_count() == 1
+            and math.gcd(args.batch_size, len(jax.devices())) == 1):
+        cfg = cfg_update(cfg, {"CONV1_FUSED": True})
+
     imdb_name, _ = DATASET_MAP.get(args.dataset, (args.dataset, None))
     imdb_obj, roidb, ratio_list, ratio_index = combined_roidb(
         imdb_name, training=True, use_flipped=cfg.TRAIN.USE_FLIPPED
