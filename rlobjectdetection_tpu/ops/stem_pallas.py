@@ -30,11 +30,24 @@ reference (resnet.py:250-266) and every `frozen_stages` setting places a
 stop_gradient at or after the stem, so no cotangent ever reaches it; the
 custom_vjp below makes that contract explicit.
 
-Layout notes (see /opt/skills/guides/pallas_guide.md): xs keeps the 12 s2d
-channels on the SUBLANE axis and width on lanes so every im2col tap is a
-contiguous [12, OW] slice; row tiles overlap by 4 xs rows (conv halo) +
-1 conv row (pool halo), which plain BlockSpecs cannot express, so xs stays
-in ANY/HBM and the kernel double-buffers its own row-window DMA.
+Layout notes (see /opt/skills/guides/pallas_guide.md): xs keeps the 6 s2d
+width-parity/channel slots (s = 3*pw + c, padded to 8) on the SUBLANE axis
+and width on lanes so every im2col tap is a contiguous [8, OW] slice; row
+tiles overlap by 8 image rows (conv halo) + 2 (pool halo), which plain
+BlockSpecs cannot express, so xs stays in ANY/HBM and the stem kernel
+double-buffers its own row-window DMA.
+
+The de-interleave itself (flat row [6j+s] -> xs[s, j]) is a second, tiny
+Pallas kernel: XLA lowers the equivalent [.., ws, 6] -> [.., 6, ws]
+minor-dim transpose as ~5 ms of relayout copies at bs8 800x1216 (measured;
+20x off memory-bandwidth speed-of-light), while MXU one-hot selection
+matmuls do it in otherwise-idle MXU time and write the [rows, 8, ws] layout
+the stem kernel wants directly. Because 6 * 128 = 768 exactly, the global
+selection matrix is block-banded: each 128-lane output block j reads only
+flat columns [768j, 768(j+1)), so gridding the width makes every block a
+[chunk, 768] x [768, 128] matmul — 7x fewer MACs than the full-width
+selection and a 1.2 MB constant instead of 9 MB. The only XLA-side prep
+left is a fusable cast + pad of the flat [B, H, W*3] image.
 """
 
 from __future__ import annotations
@@ -69,25 +82,58 @@ def _pack_weight(kernel, compute_dtype):
     return km.reshape(256, 64).T.astype(compute_dtype)          # [64, 256]
 
 
-def _s2d(x, rows, ws, compute_dtype):
-    """[B,H,W,3] image -> [B, rows, 16, Ws] space-to-depth tensor (channel on
-    the second-minor axis, width on lanes), zero-padded to the tile grid.
-
-    Channel k16 = ph*8 + pw*3 + c (6,7,14,15 zero). Built flat-first so no
-    intermediate has a sub-128 minor dimension (XLA tiles the minor dim to
-    128; a [..., W, 3] intermediate would be physically 42x padded — the
-    naive pad/transpose chain measured 5.2 ms of copies at bs8 800x1216,
-    vs ~0.4 ms for this form): cast+pad on [B, H, W*3], one last-two-dims
-    transpose [Ws, 6] -> [6, Ws], and a fusable 6->8 pad."""
+def _flatten_pad(x, rowsp, ws, compute_dtype):
+    """[B,H,W,3] image -> [B, rowsp, 6*ws] flat padded rows (cast + pad only;
+    every op here keeps the minor dimension >= 6*ws so XLA fuses it into one
+    cheap pass — no sub-128 minor dims, no transposes)."""
     b, h, w, c = x.shape
     xf = x.reshape(b, h, w * c).astype(compute_dtype)
-    # rows: 3-px top border then bottom to the tile grid; flat cols: 3 px
-    # (9 elements) left border then right to the Ws window extent
-    xfp = jnp.pad(xf, ((0, 0), (3, 2 * rows - 3 - h),
-                       (9, ws * 2 * c - 9 - w * c)))
-    v = xfp.reshape(b, rows, 2, ws, 2 * c).transpose(0, 1, 2, 4, 3)
-    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, 2), (0, 0)))   # 6 -> 8
-    return v.reshape(b, rows, 16, ws)
+    # rows: 3-px top conv border then bottom to the chunk grid; flat cols:
+    # 3 px (9 elements) left border then right to the Ws window extent
+    return jnp.pad(xf, ((0, 0), (3, rowsp - 3 - h),
+                        (9, ws * 2 * c - 9 - w * c)))
+
+
+def _deint_kernel(xf_ref, cs_ref, out_ref):
+    """Flat-row band [R, 768] -> s2d block [R, 8, 128]: out[r, s, j] =
+    band[r, 6j + s] for s < 6 (slots 6/7 zero — their conv-weight rows are
+    zero-padded anyway). Six one-hot selection matmuls Cs[s][k, j] =
+    (k == 6j + s) on the MXU."""
+    f = xf_ref[0]
+    for s in range(6):
+        y = lax.dot_general(f, cs_ref[s], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        out_ref[0, :, s, :] = y.astype(out_ref.dtype)
+    zero = jnp.zeros((f.shape[0], out_ref.shape[-1]), out_ref.dtype)
+    out_ref[0, :, 6, :] = zero
+    out_ref[0, :, 7, :] = zero
+
+
+def _deinterleave(xfp, ws, compute_dtype, chunk, interpret):
+    """[B, rowsp, 6*ws] flat rows -> [B, rowsp, 8, ws] s2d tensor, s-slot
+    (3*pw + c) on sublanes, width on lanes. rowsp must be a chunk multiple;
+    ws a 128 multiple. Width-gridded: 6 * 128 = 768, so output lane block j
+    depends exactly on flat columns [768j, 768(j+1)) — block-banded."""
+    b, rowsp, fw = xfp.shape
+    cs = np.zeros((6, 768, 128), np.float32)
+    for s in range(6):
+        cs[s, 6 * np.arange(128) + s, np.arange(128)] = 1.0
+    cs = jnp.asarray(cs, dtype=compute_dtype)
+    return pl.pallas_call(
+        _deint_kernel,
+        grid=(b, rowsp // chunk, ws // 128),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 768), lambda i, r, j: (i, r, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 768, 128), lambda i, r, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, 8, 128),
+                               lambda i, r, j: (i, r, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rowsp, 8, ws), compute_dtype),
+        interpret=interpret,
+    )(xfp, cs)
 
 
 def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
@@ -100,7 +146,7 @@ def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
 
     def dma(slot, bb, tt):
         return pltpu.make_async_copy(
-            xs_hbm.at[bb, pl.ds(tt * 2 * tp, rws)],
+            xs_hbm.at[bb, pl.ds(tt * 4 * tp, rws)],
             xs_buf.at[pl.ds(slot * rws, rws)],
             sem.at[slot],
         )
@@ -124,13 +170,15 @@ def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
     # conv + bn + relu for the tile's 2*tp+1 rows (pool halo row included).
     # The im2col matrix is assembled tap-by-tap through the r256 scratch —
     # Mosaic's concatenate cannot splice sublane pieces with mixed lane-shift
-    # layouts, but individual relayout stores are fine.
+    # layouts, but individual relayout stores are fine. Taps: conv row
+    # 2*(r+dy4)+ph of the full-res window, r256 rows (dy4, dx, ph, s).
     for r in range(th):
         i = 0
-        for dy in range(4):
+        for dy4 in range(4):
             for dx in range(4):
-                r256[16 * i:16 * (i + 1), :] = \
-                    xs_buf[base + r + dy, :, dx:dx + ow]
+                for ph in range(2):
+                    r256[16 * i + 8 * ph:16 * i + 8 * ph + 8, :] = \
+                        xs_buf[base + 2 * (r + dy4) + ph, :, dx:dx + ow]
                 i += 1
         y = lax.dot_general(wm, r256[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [64, OW]
@@ -160,13 +208,15 @@ def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
     b, h, w, _ = x.shape
     oh, ow, phh, pww = stem_out_shapes(h, w)
     nt = -(-phh // tp)
-    rows = 2 * tp * nt + 4
     # DMA windows must be lane-tile-aligned on the minor dim: pad Ws to 128
     ws = -(-(ow + 3) // 128) * 128
-    rws = 2 * tp + 4
+    chunk = 128                      # de-interleave row-grid granularity
+    rowsp = -(-(4 * tp * nt + 8) // chunk) * chunk   # padded image rows
+    rws = 4 * tp + 8                 # image rows per stem tile (halos incl.)
     th = 2 * tp + 1
 
-    xs = _s2d(x, rows, ws, compute_dtype)
+    xs = _deinterleave(_flatten_pad(x, rowsp, ws, compute_dtype),
+                       ws, compute_dtype, chunk, interpret)
     wm = _pack_weight(kernel, compute_dtype)
     inv = lax.rsqrt(var.astype(jnp.float32) + eps)
     mul = (scale.astype(jnp.float32) * inv).reshape(64, 1)
@@ -198,7 +248,7 @@ def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nt * tp, pww, 64), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * rws, 16, ws), compute_dtype),       # xs_buf
+            pltpu.VMEM((2 * rws, 8, ws), compute_dtype),        # xs_buf
             pltpu.VMEM((th, 64, ow), jnp.float32),              # ybuf
             pltpu.VMEM((256, ow), compute_dtype),               # r256 (im2col)
             pltpu.SemaphoreType.DMA((2,)),
