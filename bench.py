@@ -150,7 +150,8 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
 
     from rlobjectdetection_tpu.models.rl import RLPolicyNet
 
-    model = RLPolicyNet(num_acts=56, num_layers=101, dtype=jnp.bfloat16)
+    model = RLPolicyNet(num_acts=56, num_layers=101, dtype=jnp.bfloat16,
+                        conv1_fused="--no-fused-stem" not in sys.argv)
     rng = np.random.RandomState(3)
     img = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32))
     boxes = np.zeros((batch_size, n_boxes, 8), dtype=np.float32)

@@ -27,13 +27,19 @@ class RLPolicyNet(nn.Module):
     num_acts: int = 56
     num_layers: int = 101
     dtype: Any = jnp.float32
+    # Pallas fused stem (ops/stem_pallas.py); safe here because conv1/bn1 are
+    # frozen (forward-only contract). Single-device TPU only, like the
+    # detector's CONV1_FUSED.
+    conv1_fused: bool = False
+    stem_interpret: bool = False
 
     def setup(self):
         # conv1..layer3 are frozen (Reinforcement/resnet.py:139-147):
         # frozen_stages=3 cuts the gradient at the C4 boundary so XLA deletes
         # the entire backbone backward, as torch autograd does upstream.
         self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype,
-                               frozen_stages=3)
+                               frozen_stages=3, conv1_fused=self.conv1_fused,
+                               stem_interpret=self.stem_interpret)
         # stride-1 layer4 (l.120); its BN affine TRAINS upstream —
         # freeze_layer (l.139-147) covers only conv1..layer3, so layer4 BN
         # weight/bias sit in the reference optimizer's param groups. Frozen

@@ -10,6 +10,7 @@ reference eval crashes on missing imports/undefined names).
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -98,7 +99,12 @@ def main():
     loader = COCODataLoader(dataset, args.batch_size, shuffle=(phase == "train"))
     log.info(f"dataset: {len(dataset)} images")
 
-    model = RLPolicyNet(num_acts=action.num_acts, num_layers=args.layers)
+    # Pallas fused stem on single-device TPU runs (no GSPMD partitioning
+    # rule — multi-device meshes keep the XLA stem), mirroring trainval_net.
+    fused = (jax.default_backend() == "tpu" and jax.process_count() == 1
+             and math.gcd(args.batch_size, len(jax.devices())) == 1)
+    model = RLPolicyNet(num_acts=action.num_acts, num_layers=args.layers,
+                        conv1_fused=fused)
 
     sample = next(iter(loader))
     key = jax.random.PRNGKey(3)
@@ -190,8 +196,6 @@ def main():
 
     # data-parallel mesh, like the reference's DataParallel wrap of the RL net
     # (trainval_net.py:117-118) — batch sharded, params replicated, psum by XLA
-    import math
-
     from rlobjectdetection_tpu.parallel import make_mesh, replicate, shard_batch
 
     n_avail = len(jax.devices())
