@@ -90,6 +90,8 @@ def main():
         REMAT=remat,
         CONV1_S2D="--s2d" in sys.argv,
         CONV1_FUSED="--no-fused-stem" not in sys.argv,  # Pallas fused stem (DESIGN.md)
+        LAYER1_FUSED=("--no-fused-stem" not in sys.argv
+                      and "--no-fused-layer1" not in sys.argv),
         ALIGN_IMPL=("cvjp" if "--cvjp" in sys.argv
                     else "pallas" if "--pallas-align" in sys.argv
                     else "autodiff"),
@@ -150,8 +152,10 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
 
     from rlobjectdetection_tpu.models.rl import RLPolicyNet
 
+    fused = "--no-fused-stem" not in sys.argv
     model = RLPolicyNet(num_acts=56, num_layers=101, dtype=jnp.bfloat16,
-                        conv1_fused="--no-fused-stem" not in sys.argv)
+                        conv1_fused=fused,
+                        layer1_fused=fused and "--no-fused-layer1" not in sys.argv)
     rng = np.random.RandomState(3)
     img = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32))
     boxes = np.zeros((batch_size, n_boxes, 8), dtype=np.float32)

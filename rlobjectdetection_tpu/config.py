@@ -122,6 +122,7 @@ class Config:
     ALIGN_IMPL: str = "autodiff"     # autodiff | cvjp (sorted-scatter backward; compiles faster)
     CONV1_S2D: bool = False          # space-to-depth stem (identical numerics; measured slower on v5e)
     CONV1_FUSED: bool = False        # Pallas fused stem (conv1+bn+relu+maxpool); TPU single-device only
+    LAYER1_FUSED: bool = False       # Pallas fused layer1 (3 bottlenecks); needs CONV1_FUSED + FIXED_BLOCKS>=1
 
 
 def _coerce(old: Any, new: Any, key: str) -> Any:

@@ -218,6 +218,74 @@ class _BN1Params(nn.Module):
                 self.param("var", nn.initializers.ones, (64,)))
 
 
+class _ConvKernel(nn.Module):
+    """Holder for an nn.Conv-compatible 'kernel' param (fused-layer1 path)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param("kernel", nn.initializers.lecun_normal(),
+                                     self.shape)}
+
+
+class _BNParams(nn.Module):
+    """Holder matching FrozenBatchNorm's param tree (fused-layer1 path)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.features,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
+            "mean": self.param("mean", nn.initializers.zeros, (self.features,)),
+            "var": self.param("var", nn.initializers.ones, (self.features,)),
+        }
+
+
+class _BottleneckParams(nn.Module):
+    """Holder exposing a Bottleneck's exact param tree without compute —
+    names/shapes/inits identical to the modules it replaces, so checkpoints
+    interchange freely between the fused and plain layer1 paths."""
+
+    in_features: int
+    planes: int
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self):
+        p4 = self.planes * 4
+        out = {
+            "conv1": _ConvKernel((1, 1, self.in_features, self.planes),
+                                 name="conv1")(),
+            "bn1": _BNParams(self.planes, name="bn1")(),
+            "conv2": _ConvKernel((3, 3, self.planes, self.planes),
+                                 name="conv2")(),
+            "bn2": _BNParams(self.planes, name="bn2")(),
+            "conv3": _ConvKernel((1, 1, self.planes, p4), name="conv3")(),
+            "bn3": _BNParams(p4, name="bn3")(),
+        }
+        if self.downsample:
+            out["downsample_conv"] = _ConvKernel(
+                (1, 1, self.in_features, p4), name="downsample_conv")()
+            out["downsample_bn"] = _BNParams(p4, name="downsample_bn")()
+        return out
+
+
+class _Layer1Params(nn.Module):
+    """ResLayer(64, 3, stride=1) param tree for ops/layer1_pallas.py."""
+
+    @nn.compact
+    def __call__(self):
+        return {
+            f"block{i}": _BottleneckParams(64 if i == 0 else 256, 64,
+                                           downsample=(i == 0),
+                                           name=f"block{i}")()
+            for i in range(3)
+        }
+
+
 class ResNetBase(nn.Module):
     """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239).
 
@@ -240,6 +308,12 @@ class ResNetBase(nn.Module):
     # stem below is the path.
     conv1_fused: bool = False
     stem_interpret: bool = False
+    # Pallas fused layer1 (ops/layer1_pallas.py): all 3 bottleneck blocks in
+    # one kernel, consuming the fused stem's CW-layout output. Requires
+    # conv1_fused (the CW producer) and frozen_stages >= 1 (forward-only
+    # contract — layer1 never trains for FIXED_BLOCKS >= 1, the reference
+    # default). Same gating as the stem: TPU backend or interpret mode.
+    layer1_fused: bool = False
     # RESNET.FIXED_BLOCKS: stages layer1..layerN are frozen (conv1/bn1 always).
     # Cutting the gradient at the frozen-prefix boundary lets XLA delete the
     # whole backward through those stages — the same pruning torch autograd
@@ -253,15 +327,17 @@ class ResNetBase(nn.Module):
 
         specs = LAYER_SPECS[self.num_layers]
         layer = nn.remat(ResLayer) if self.remat else ResLayer
-        if self.conv1_fused and (self.stem_interpret
-                                 or jax.default_backend() == "tpu"):
+        pallas_ok = self.stem_interpret or jax.default_backend() == "tpu"
+        fuse_stem = self.conv1_fused and pallas_ok
+        fuse_l1 = self.layer1_fused and fuse_stem and self.frozen_stages >= 1
+        if fuse_stem:
             from rlobjectdetection_tpu.ops.stem_pallas import fused_stem
 
             kernel = _Conv1Param(name="conv1")()
             scale, bias, mean, var = _BN1Params(name="bn1")()
             x = fused_stem(x, kernel, scale, bias, mean, var,
                            out_dtype=self.dtype, compute_dtype=self.dtype,
-                           interpret=self.stem_interpret)
+                           interpret=self.stem_interpret, cw_out=fuse_l1)
         else:
             if self.conv1_s2d:
                 x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
@@ -273,7 +349,15 @@ class ResNetBase(nn.Module):
             x = ceil_max_pool(x)
         if self.frozen_stages == 0:
             x = lax.stop_gradient(x)
-        x = layer(64, specs[0], 1, self.dtype, name="layer1")(x)
+        if fuse_l1:
+            from rlobjectdetection_tpu.ops.layer1_pallas import fused_layer1
+
+            p_l1 = _Layer1Params(name="layer1")()
+            x = fused_layer1(x, p_l1, out_dtype=self.dtype,
+                             compute_dtype=self.dtype,
+                             interpret=self.stem_interpret)
+        else:
+            x = layer(64, specs[0], 1, self.dtype, name="layer1")(x)
         if self.frozen_stages == 1:
             x = lax.stop_gradient(x)
         x = layer(128, specs[1], 2, self.dtype, name="layer2")(x)

@@ -83,6 +83,7 @@ class FasterRCNN(nn.Module):
             self.base = ResNetBase(num_layers=layers, dtype=dtype, remat=self.cfg.REMAT,
                                    conv1_s2d=self.cfg.CONV1_S2D,
                                    conv1_fused=self.cfg.CONV1_FUSED,
+                                   layer1_fused=self.cfg.LAYER1_FUSED,
                                    frozen_stages=self.cfg.RESNET.FIXED_BLOCKS)
             self.head = ResNetHead(num_layers=layers, dtype=dtype)
             self.dout_base = 1024

@@ -31,6 +31,7 @@ class RLPolicyNet(nn.Module):
     # frozen (forward-only contract). Single-device TPU only, like the
     # detector's CONV1_FUSED.
     conv1_fused: bool = False
+    layer1_fused: bool = False
     stem_interpret: bool = False
 
     def setup(self):
@@ -39,6 +40,7 @@ class RLPolicyNet(nn.Module):
         # the entire backbone backward, as torch autograd does upstream.
         self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype,
                                frozen_stages=3, conv1_fused=self.conv1_fused,
+                               layer1_fused=self.layer1_fused,
                                stem_interpret=self.stem_interpret)
         # stride-1 layer4 (l.120); its BN affine TRAINS upstream —
         # freeze_layer (l.139-147) covers only conv1..layer3, so layer4 BN

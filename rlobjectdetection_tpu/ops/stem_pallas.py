@@ -138,7 +138,7 @@ def _deinterleave(xfp, ws, compute_dtype, chunk, interpret):
 
 def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
                  xs_buf, ybuf, r256, sem, *, nt, total, tp, rws, oh, ow, pw,
-                 out_dtype):
+                 out_dtype, cw):
     th = 2 * tp + 1
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -196,13 +196,19 @@ def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
         z1 = jnp.concatenate([rm[:, 1:], jnp.zeros((64, 1), rm.dtype)], axis=1)
         z2 = jnp.concatenate([rm[:, 2:], jnp.zeros((64, 2), rm.dtype)], axis=1)
         m = jnp.maximum(jnp.maximum(rm, z1), z2).astype(sel.dtype)
-        outp = lax.dot_general(sel, m, (((0,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [PW, 64]
+        if cw:
+            # CW layout [64, PW] — channels stay on sublanes for the fused
+            # layer1 kernel (ops/layer1_pallas.py); sel compacts stride-2
+            outp = lax.dot_general(m, sel, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        else:
+            outp = lax.dot_general(sel, m, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # [PW, 64]
         out_ref[0, p] = outp.astype(out_dtype)
 
 
 def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
-    out_dtype, compute_dtype, tp, interpret, eps = static
+    out_dtype, compute_dtype, tp, interpret, eps, cw = static
     out_dtype = jnp.dtype(out_dtype)
     compute_dtype = jnp.dtype(compute_dtype)
     b, h, w, _ = x.shape
@@ -229,7 +235,8 @@ def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
     sel = jnp.asarray(sel, dtype=compute_dtype)
 
     kern = partial(_stem_kernel, nt=nt, total=b * nt, tp=tp, rws=rws,
-                   oh=oh, ow=ow, pw=pww, out_dtype=out_dtype)
+                   oh=oh, ow=ow, pw=pww, out_dtype=out_dtype, cw=cw)
+    out_block = (1, tp, 64, pww) if cw else (1, tp, pww, 64)
     out = pl.pallas_call(
         kern,
         grid=(b, nt),
@@ -244,9 +251,9 @@ def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
             pl.BlockSpec((ow, pww), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),              # sel
         ],
-        out_specs=pl.BlockSpec((1, tp, pww, 64), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec(out_block, lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nt * tp, pww, 64), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nt * tp) + out_block[2:], out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2 * rws, 8, ws), compute_dtype),        # xs_buf
             pltpu.VMEM((th, 64, ow), jnp.float32),              # ybuf
@@ -280,15 +287,17 @@ _fused_stem.defvjp(_fused_stem_fwd, _fused_stem_bwd)
 
 def fused_stem(x, kernel, scale, bias, mean, var, *, out_dtype=jnp.bfloat16,
                compute_dtype=jnp.bfloat16, tile_rows=8, interpret=False,
-               eps=1e-5):
+               eps=1e-5, cw_out=False):
     """conv1(7x7/2) + frozen-BN + ReLU + ceil-maxpool(3x3/2) in one kernel.
 
     x: [B, H, W, 3] float; kernel: [7, 7, 3, 64] (HWIO, the canonical
     'conv1/kernel' param); scale/bias/mean/var: [64] frozen bn1 params.
-    Returns [B, PH, PW, 64] in out_dtype, PH/PW per `stem_out_shapes`.
+    Returns [B, PH, PW, 64] in out_dtype, PH/PW per `stem_out_shapes` —
+    or [B, PH, 64, PW] with cw_out=True (channels on sublanes, the slab
+    layout ops/layer1_pallas.py consumes with zero transposes).
     """
     assert x.shape[-1] == 3 and kernel.shape == (7, 7, 3, 64), (
         "fused_stem is specialized to the 3->64 7x7 ResNet stem")
     static = (jnp.dtype(out_dtype).name, jnp.dtype(compute_dtype).name,
-              int(tile_rows), bool(interpret), float(eps))
+              int(tile_rows), bool(interpret), float(eps), bool(cw_out))
     return _fused_stem(static, x, kernel, scale, bias, mean, var)

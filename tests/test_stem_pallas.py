@@ -52,6 +52,20 @@ def test_fused_stem_matches_xla(b, h, w, tp):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_fused_stem_cw_out_layout():
+    """cw_out=True returns the same values in [B, PH, 64, PW] (channels on
+    sublanes — the slab layout ops/layer1_pallas.py consumes)."""
+    rng = np.random.RandomState(21)
+    args = _random_inputs(rng, 2, 37, 45)
+    ref = fused_stem(*args, out_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     tile_rows=4, interpret=True)
+    got = fused_stem(*args, out_dtype=jnp.float32, compute_dtype=jnp.float32,
+                     tile_rows=4, interpret=True, cw_out=True)
+    assert got.shape == (ref.shape[0], ref.shape[1], 64, ref.shape[2])
+    np.testing.assert_array_equal(np.asarray(got).transpose(0, 1, 3, 2),
+                                  np.asarray(ref))
+
+
 def test_fused_stem_bf16_close():
     rng = np.random.RandomState(7)
     args = _random_inputs(rng, 1, 48, 64)

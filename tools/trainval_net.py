@@ -117,6 +117,12 @@ def main():
             and jax.default_backend() == "tpu" and jax.process_count() == 1
             and math.gcd(args.batch_size, len(jax.devices())) == 1):
         cfg = cfg_update(cfg, {"CONV1_FUSED": True})
+    # Fused layer1 rides the same gate (it consumes the fused stem's CW
+    # output and needs the FIXED_BLOCKS >= 1 frozen-layer1 contract).
+    if (cfg.CONV1_FUSED and cfg.RESNET.FIXED_BLOCKS >= 1
+            and not any("LAYER1_FUSED" in str(s)
+                        for s in (args.set_cfgs or []))):
+        cfg = cfg_update(cfg, {"LAYER1_FUSED": True})
 
     imdb_name, _ = DATASET_MAP.get(args.dataset, (args.dataset, None))
     imdb_obj, roidb, ratio_list, ratio_index = combined_roidb(

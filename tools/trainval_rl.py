@@ -104,7 +104,7 @@ def main():
     fused = (jax.default_backend() == "tpu" and jax.process_count() == 1
              and math.gcd(args.batch_size, len(jax.devices())) == 1)
     model = RLPolicyNet(num_acts=action.num_acts, num_layers=args.layers,
-                        conv1_fused=fused)
+                        conv1_fused=fused, layer1_fused=fused)
 
     sample = next(iter(loader))
     key = jax.random.PRNGKey(3)
