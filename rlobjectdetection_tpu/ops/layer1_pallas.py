@@ -65,15 +65,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bn_mul_add(scale, bias, mean, var, eps, dtype):
-    """FrozenBatchNorm fold: y = x*mul + add, computed f32 then cast — the
-    exact cast order of models/backbones/resnet.py::FrozenBatchNorm."""
+def _bn_mul_add(scale, bias, mean, var, eps):
+    """FrozenBatchNorm fold (f32): y = x*mul + add. The mul is folded into
+    the preceding conv's weight rows host-side (diag(mul) @ W), so the
+    kernel applies only the add."""
     inv = lax.rsqrt(var.astype(jnp.float32) + eps)
-    mul = (scale.astype(jnp.float32) * inv).astype(dtype)
-    add = (bias.astype(jnp.float32)
-           - mean.astype(jnp.float32) * scale.astype(jnp.float32) * inv
-           ).astype(dtype)
-    return mul.reshape(-1, 1), add.reshape(-1, 1)
+    mul = scale.astype(jnp.float32) * inv
+    add = bias.astype(jnp.float32) - mean.astype(jnp.float32) * mul
+    return mul, add
 
 
 def _l1_kernel(xp_hbm, m1_0, m1_12, m2s, m3s, md, bn1s, bn2s, bn3s, bnd,
@@ -128,37 +127,41 @@ def _l1_kernel(xp_hbm, m1_0, m1_12, m2s, m3s, md, bn1s, bn2s, bn3s, bnd,
         ok = (col < w) & (grow >= 3) & (grow < 3 + h_img)
         return ok.astype(compute_dtype)
 
-    def block(a_ref, boff, ext_in, m1, bn1, m2, bn2, m3, bn3, store, resid):
+    def block(a_ref, boff, ext_in, m1, add1, m2, add2, m3, add3, store,
+              resid):
         """One bottleneck: a_ref slab [Cin, >=ext_in*Wp] -> store(chunk2, y)
         over ext_in-2 output rows. resid(c) yields the [256, 2*Wp] shortcut
-        for chunk c; store(c, y) consumes the block's output chunk. The
-        conv1 stage streams through slab_a1 in 4-row chunks (bounds f32
-        transients); conv2/3 read sliding windows from slab_a1."""
-        bn1m, bn1a = bn1[0, :64], bn1[1, :64]
+        for chunk c; store(c, y) consumes the block's output chunk. BN
+        scales are pre-folded into the weight matrices; only adds apply
+        here. The conv1 stage streams through slab_a1 in 4-row chunks
+        (bounds f32 transients); conv2/3 read sliding windows from it."""
+        b1 = add1[:64]
         for r0 in range(0, ext_in, 4):
             rr = min(4, ext_in - r0)
             seg = dot_f32(m1[:], a_ref[:, r0 * wp:(r0 + rr) * wp])
-            seg = seg.astype(compute_dtype) * bn1m + bn1a
+            seg = seg.astype(compute_dtype) + b1
             slab_a1[:, r0 * wp:(r0 + rr) * wp] = \
                 jnp.maximum(seg, 0.0) * mask(rr, r0, boff)
-        bn2m, bn2a = bn2[0, :64], bn2[1, :64]
-        bn3m, bn3a = bn3[0], bn3[1]
+        b2 = add2[:64]
+        b3 = add3[:]
         l = 2 * wp
         for c in range((ext_in - 2) // 2):
-            # conv3x3 over output rows [2c, 2c+2): 9 MXU passes on aligned
-            # slices of a1 rows [2c, 2c+4)
-            p0 = p1 = p2 = jnp.zeros((64, l), jnp.float32)
-            for dy in range(3):
-                rhs = slab_a1[:, (2 * c + dy) * wp:(2 * c + dy) * wp + l]
-                p0 = p0 + dot_f32(m2[3 * dy + 0], rhs)
-                p1 = p1 + dot_f32(m2[3 * dy + 1], rhs)
-                p2 = p2 + dot_f32(m2[3 * dy + 2], rhs)
+            # conv3x3 over output rows [2c, 2c+2) as ONE MXU contraction:
+            # the 3 dy tap rows stack on the rhs sublanes ([192, L]) and the
+            # 3 dx taps stack on the weight's M rows, so the [192, 192]
+            # packed weight contracts all 9 taps at ~56% MXU utilization
+            # (9 separate [64, 64] dots ran at 25% — M and K half-filled)
+            rhs3 = jnp.concatenate(
+                [slab_a1[:, (2 * c + dy) * wp:(2 * c + dy) * wp + l]
+                 for dy in range(3)], axis=0)
+            ps = dot_f32(m2, rhs3)        # [192, L]: P_dx stacked on sublanes
             # column taps: out[x] = P0[x-1] + P1[x] + P2[x+1]; the rolled-in
             # lanes are a neighbouring row's trailing pad — zero in masked a1
-            y2 = p1 + pltpu.roll(p0, 1, 1) + pltpu.roll(p2, l - 1, 1)
-            y2 = y2.astype(compute_dtype) * bn2m + bn2a
+            y2 = (ps[64:128] + pltpu.roll(ps[0:64], 1, 1)
+                  + pltpu.roll(ps[128:192], l - 1, 1)
+                  ).astype(compute_dtype) + b2
             y2 = jnp.maximum(y2, 0.0)
-            y3 = dot_f32(m3[:], y2).astype(compute_dtype) * bn3m + bn3a
+            y3 = dot_f32(m3[:], y2).astype(compute_dtype) + b3
             store(c, jnp.maximum(y3 + resid(c), 0.0))
 
     # block0 (64 -> 256, downsample shortcut), rows TH+6 -> TH+4
@@ -167,7 +170,7 @@ def _l1_kernel(xp_hbm, m1_0, m1_12, m2s, m3s, md, bn1s, bn2s, bn3s, bnd,
 
     def resid_d(c):
         xc = slab_in[:, (1 + 2 * c) * wp:(3 + 2 * c) * wp]
-        return dot_f32(md[:], xc).astype(compute_dtype) * bnd[0] + bnd[1]
+        return dot_f32(md[:], xc).astype(compute_dtype) + bnd[:]
 
     block(slab_in, 0, rws, m1_0, bn1s[0], m2s[0], bn2s[0], m3s[0],
           bn3s[0], store_a, resid_d)
@@ -196,35 +199,44 @@ def _l1_kernel(xp_hbm, m1_0, m1_12, m2s, m3s, md, bn1s, bn2s, bn3s, bnd,
 
 def _pack_params(p, compute_dtype, eps):
     """layer1 param tree (block0..2 Bottleneck params — the exact tree
-    models/backbones/resnet.py::ResLayer(64, 3) creates) -> kernel arrays."""
-    def mat(kern):            # [1,1,I,O] -> [O, I]
-        return kern[0, 0].T.astype(compute_dtype)
+    models/backbones/resnet.py::ResLayer(64, 3) creates) -> kernel arrays.
+    Each conv's weight rows are pre-scaled by its following BN's mul
+    (all folds in f32, cast once), so the kernel applies only BN adds."""
+    def ma(blk, name):
+        q = p[blk][name]
+        return _bn_mul_add(q["scale"], q["bias"], q["mean"], q["var"], eps)
 
-    def m2(kern):             # [3,3,64,64] HWIO -> [9, 64(out), 64(in)]
-        return kern.transpose(0, 1, 3, 2).reshape(9, 64, 64).astype(compute_dtype)
+    def mat(kern, mul):       # [1,1,I,O] -> [O, I] row-scaled by bn mul
+        return (kern[0, 0].T.astype(jnp.float32)
+                * mul[:, None]).astype(compute_dtype)
 
-    def bn(blk, name, c):
-        mul, add = _bn_mul_add(p[blk][name]["scale"], p[blk][name]["bias"],
-                               p[blk][name]["mean"], p[blk][name]["var"],
-                               eps, compute_dtype)
-        if c < 256:           # pad into the common [2, 256, 1] slot
-            mul = jnp.pad(mul, ((0, 256 - c), (0, 0)))
-            add = jnp.pad(add, ((0, 256 - c), (0, 0)))
-        return jnp.stack([mul, add])
+    def m2(kern, mul):
+        """[3,3,64,64] HWIO -> [192, 192] packed: row dx*64+co, col dy*64+ci
+        (dx taps on M, dy taps on K — one MXU contraction per row chunk)."""
+        m = kern.astype(jnp.float32) * mul[None, None, None, :]
+        return m.transpose(1, 3, 0, 2).reshape(192, 192).astype(compute_dtype)
 
+    def addvec(add, c):       # -> [256, 1] (sub-256 channels zero-padded)
+        a = add.astype(compute_dtype).reshape(-1, 1)
+        return jnp.pad(a, ((0, 256 - c), (0, 0))) if c < 256 else a
+
+    bn1 = [ma(f"block{i}", "bn1") for i in range(3)]
+    bn2 = [ma(f"block{i}", "bn2") for i in range(3)]
+    bn3 = [ma(f"block{i}", "bn3") for i in range(3)]
+    bnd = ma("block0", "downsample_bn")
     return dict(
-        m1_0=mat(p["block0"]["conv1"]["kernel"]),                    # [64, 64]
-        m1_12=jnp.stack([mat(p["block1"]["conv1"]["kernel"]),
-                         mat(p["block2"]["conv1"]["kernel"])]),      # [2,64,256]
-        m2s=jnp.stack([m2(p[f"block{i}"]["conv2"]["kernel"])
-                       for i in range(3)]),                          # [3,9,64,64]
-        m3s=jnp.stack([mat(p[f"block{i}"]["conv3"]["kernel"])
+        m1_0=mat(p["block0"]["conv1"]["kernel"], bn1[0][0]),         # [64, 64]
+        m1_12=jnp.stack([mat(p[f"block{i}"]["conv1"]["kernel"], bn1[i][0])
+                         for i in (1, 2)]),                          # [2,64,256]
+        m2s=jnp.stack([m2(p[f"block{i}"]["conv2"]["kernel"], bn2[i][0])
+                       for i in range(3)]),                          # [3,192,192]
+        m3s=jnp.stack([mat(p[f"block{i}"]["conv3"]["kernel"], bn3[i][0])
                        for i in range(3)]),                          # [3,256,64]
-        md=mat(p["block0"]["downsample_conv"]["kernel"]),            # [256, 64]
-        bn1s=jnp.stack([bn(f"block{i}", "bn1", 64) for i in range(3)]),
-        bn2s=jnp.stack([bn(f"block{i}", "bn2", 64) for i in range(3)]),
-        bn3s=jnp.stack([bn(f"block{i}", "bn3", 256) for i in range(3)]),
-        bnd=bn("block0", "downsample_bn", 256),
+        md=mat(p["block0"]["downsample_conv"]["kernel"], bnd[0]),    # [256, 64]
+        bn1s=jnp.stack([addvec(bn1[i][1], 64) for i in range(3)]),
+        bn2s=jnp.stack([addvec(bn2[i][1], 64) for i in range(3)]),
+        bn3s=jnp.stack([addvec(bn3[i][1], 256) for i in range(3)]),
+        bnd=addvec(bnd[1], 256),
     )
 
 
@@ -254,17 +266,21 @@ def _fused_layer1_impl(static, x_cw, *packed):
                    compute_dtype=compute_dtype)
     const = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    shapes = dict(m1_0=(64, 64), m1_12=(2, 64, 256), m2s=(3, 9, 64, 64),
-                  m3s=(3, 256, 64), md=(256, 64), bn1s=(3, 2, 256, 1),
-                  bn2s=(3, 2, 256, 1), bn3s=(3, 2, 256, 1), bnd=(2, 256, 1))
+    shapes = dict(m1_0=(64, 64), m1_12=(2, 64, 256), m2s=(3, 192, 192),
+                  m3s=(3, 256, 64), md=(256, 64), bn1s=(3, 256, 1),
+                  bn2s=(3, 256, 1), bn3s=(3, 256, 1), bnd=(256, 1))
     out = pl.pallas_call(
         kern,
         grid=(b, nt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]      # xp (HBM)
                  + [const(shapes[k]) for k in _ARG_ORDER],
+        # out_shape is the EXACT [B, H, W, 256] NHWC result: the trailing
+        # row band and width chunk are partial blocks — Mosaic masks the
+        # write-back, which is free compared to an XLA slice copy of the
+        # whole tensor
         out_specs=pl.BlockSpec((1, th, wop, 256), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nt * th, wop, 256), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 256), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((64, rws * wp), compute_dtype),        # slab_in
             pltpu.VMEM((64, rws * wp), compute_dtype),        # slab_a1
@@ -275,7 +291,7 @@ def _fused_layer1_impl(static, x_cw, *packed):
         ],
         interpret=interpret,
     )(xp, *packed)
-    return out[:, :h, :w]
+    return out
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
