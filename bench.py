@@ -143,27 +143,35 @@ def main():
                         step_flops=step_flops)
 
 
-def _bench_rl(batch_size, h, w, n_boxes=64):
-    """RL action-value net train throughput: bs images × n_boxes detection
-    boxes each, trunk frozen (gradient cut at C4), weighted-MSE step."""
+def make_rl_step(batch_size, h, w, n_boxes=64, fused_stem=True,
+                 fused_layer1=True):
+    """Build the RL action-value train step + inputs (shared by the bench
+    and tools/trace_step.py --rl): bs images × n_boxes detection boxes each,
+    trunk frozen (gradient cut at C4), weighted-MSE step.
+
+    Returns (step, params, opt_state, inputs) with
+    step(params, opt_state, *inputs) -> (params, opt_state, loss)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from rlobjectdetection_tpu.models.rl import RLPolicyNet
 
-    fused = "--no-fused-stem" not in sys.argv
     model = RLPolicyNet(num_acts=56, num_layers=101, dtype=jnp.bfloat16,
-                        conv1_fused=fused,
-                        layer1_fused=fused and "--no-fused-layer1" not in sys.argv)
+                        conv1_fused=fused_stem,
+                        layer1_fused=fused_stem and fused_layer1)
     rng = np.random.RandomState(3)
     img = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32))
+    # box spans scale with the canvas so tiny-shape smoke tests stay valid
+    bw, bh = max(2, min(190, w // 4)), max(2, min(190, h // 4))
     boxes = np.zeros((batch_size, n_boxes, 8), dtype=np.float32)
     boxes[:, :, 0] = np.arange(batch_size)[:, None]
-    boxes[:, :, 1] = rng.randint(0, w - 200, boxes.shape[:2])
-    boxes[:, :, 2] = rng.randint(0, h - 200, boxes.shape[:2])
-    boxes[:, :, 3] = boxes[:, :, 1] + rng.randint(30, 190, boxes.shape[:2])
-    boxes[:, :, 4] = boxes[:, :, 2] + rng.randint(30, 190, boxes.shape[:2])
+    boxes[:, :, 1] = rng.randint(0, w - bw - 1, boxes.shape[:2])
+    boxes[:, :, 2] = rng.randint(0, h - bh - 1, boxes.shape[:2])
+    boxes[:, :, 3] = boxes[:, :, 1] + rng.randint(
+        max(1, min(30, bw // 2)), bw, boxes.shape[:2])
+    boxes[:, :, 4] = boxes[:, :, 2] + rng.randint(
+        max(1, min(30, bh // 2)), bh, boxes.shape[:2])
     boxes = jnp.asarray(boxes)
     targets = jnp.asarray(
         rng.choice([-1.0, 1.0], (batch_size, n_boxes, 56)).astype(np.float32))
@@ -190,17 +198,24 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    return step, params, opt_state, (img, boxes, targets, weights)
+
+
+def _bench_rl(batch_size, h, w, n_boxes=64):
+    fused = "--no-fused-stem" not in sys.argv
+    step, params, opt_state, inputs = make_rl_step(
+        batch_size, h, w, n_boxes, fused_stem=fused,
+        fused_layer1=fused and "--no-fused-layer1" not in sys.argv)
+
     holder = {"p": params, "o": opt_state}
 
     def run_once():
-        holder["p"], holder["o"], loss = step(
-            holder["p"], holder["o"], img, boxes, targets, weights)
+        holder["p"], holder["o"], loss = step(holder["p"], holder["o"], *inputs)
         return loss
 
     _measure_and_report("rl_train_images_per_sec_per_chip_res101_coco800",
                         run_once, float, batch_size,
-                        step_flops=_xla_flops(step, params, opt_state, img,
-                                              boxes, targets, weights))
+                        step_flops=_xla_flops(step, params, opt_state, *inputs))
 
 
 def _bench_infer(model, params, batch, batch_size):

@@ -8,6 +8,8 @@ prints cumulative duration, so the fused-step time attribution is measured,
 not inferred from standalone sub-programs (tools/profile_step.py).
 
 Run:  python tools/trace_step.py [bs]        (default 8)
+      python tools/trace_step.py --infer [bs]   eval fwd + postprocess
+      python tools/trace_step.py --rl [bs]      RL action-value train step
 """
 
 import glob
@@ -37,8 +39,24 @@ def main():
 
     bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)
     infer_mode = "--infer" in sys.argv
-    cfg = Config(ANCHOR_SCALES=(4, 8, 16, 32), MAX_NUM_GT_BOXES=50)
     h, w, g = 800, 1216, 50
+    if "--rl" in sys.argv:
+        from bench import make_rl_step
+
+        rl_step, p, o, inputs = make_rl_step(
+            bs, h, w, fused_stem="--no-fused-stem" not in sys.argv,
+            fused_layer1="--no-fused-layer1" not in sys.argv)
+        holder = {"p": p, "o": o}
+
+        def run_rl():
+            holder["p"], holder["o"], loss = rl_step(
+                holder["p"], holder["o"], *inputs)
+            return loss
+
+        float(run_rl())
+        _trace_and_report(jax, run_rl, lambda out: float(out))
+        return
+    cfg = Config(ANCHOR_SCALES=(4, 8, 16, 32), MAX_NUM_GT_BOXES=50)
     model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
     rng = np.random.RandomState(3)
     batch = {
@@ -74,16 +92,28 @@ def main():
     else:
         step = make_train_step(model, tx)
 
-    for i in range(3):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    float(metrics["loss"])
+    holder = {"state": state, "i": 0}
 
+    def run_once():
+        holder["state"], metrics = step(
+            holder["state"], batch, jax.random.fold_in(key, holder["i"]))
+        holder["i"] += 1
+        return metrics
+
+    for _ in range(3):
+        metrics = run_once()
+    float(metrics["loss"])
+    _trace_and_report(jax, run_once, lambda m: float(m["loss"]))
+
+
+def _trace_and_report(jax, run_once, sync, n_steps=5):
+    """Trace n_steps executions of run_once and print top ops by self-time."""
     trace_dir = "/tmp/step_trace"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        for i in range(5):
-            state, metrics = step(state, batch, jax.random.fold_in(key, 10 + i))
-        float(metrics["loss"])
+        for _ in range(n_steps):
+            out = run_once()
+        sync(out)
 
     paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not paths:
@@ -117,11 +147,11 @@ def main():
                     by_op[e["name"]] += e.get("dur", 0.0)
                     counts[e["name"]] += 1
     total = sum(by_op.values())
-    print(f"{len(by_op)} distinct ops, total {total/1e3/5:.2f} ms/step "
-          f"(5 steps traced)\n")
+    print(f"{len(by_op)} distinct ops, total {total/1e3/n_steps:.2f} ms/step "
+          f"({n_steps} steps traced)\n")
     print(f"{'ms/step':>9}  {'%':>5}  {'n':>5}  op")
     for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{dur/1e3/5:9.3f}  {100*dur/total:5.1f}  {counts[name]:5d}  "
+        print(f"{dur/1e3/n_steps:9.3f}  {100*dur/total:5.1f}  {counts[name]:5d}  "
               f"{name[:110]}")
 
 
