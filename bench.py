@@ -95,6 +95,9 @@ def main():
         ALIGN_IMPL=("cvjp" if "--cvjp" in sys.argv
                     else "pallas" if "--pallas-align" in sys.argv
                     else "autodiff"),
+        # frozen-stage fusion: no-op for the train bench (FIXED_BLOCKS=1
+        # blocks it in train mode); engages on the eval forward of --infer
+        STAGE_FUSED=3 if "--fused-stages" in sys.argv else 0,
     )
     h, w, g = 800, 1216, 50
     if "--rl" in sys.argv:
@@ -144,7 +147,7 @@ def main():
 
 
 def make_rl_step(batch_size, h, w, n_boxes=64, fused_stem=True,
-                 fused_layer1=True):
+                 fused_layer1=True, fused_stages=0):
     """Build the RL action-value train step + inputs (shared by the bench
     and tools/trace_step.py --rl): bs images × n_boxes detection boxes each,
     trunk frozen (gradient cut at C4), weighted-MSE step.
@@ -159,7 +162,8 @@ def make_rl_step(batch_size, h, w, n_boxes=64, fused_stem=True,
 
     model = RLPolicyNet(num_acts=56, num_layers=101, dtype=jnp.bfloat16,
                         conv1_fused=fused_stem,
-                        layer1_fused=fused_stem and fused_layer1)
+                        layer1_fused=fused_stem and fused_layer1,
+                        stages_fused=fused_stages)
     rng = np.random.RandomState(3)
     img = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32))
     # box spans scale with the canvas so tiny-shape smoke tests stay valid
@@ -205,7 +209,8 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
     fused = "--no-fused-stem" not in sys.argv
     step, params, opt_state, inputs = make_rl_step(
         batch_size, h, w, n_boxes, fused_stem=fused,
-        fused_layer1=fused and "--no-fused-layer1" not in sys.argv)
+        fused_layer1=fused and "--no-fused-layer1" not in sys.argv,
+        fused_stages=3 if "--fused-stages" in sys.argv else 0)
 
     holder = {"p": params, "o": opt_state}
 

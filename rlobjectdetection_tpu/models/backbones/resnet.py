@@ -286,6 +286,25 @@ class _Layer1Params(nn.Module):
         }
 
 
+class _StageParams(nn.Module):
+    """ResLayer(planes, blocks) param tree for ops/res_stage_pallas.py —
+    names/shapes/inits identical to the modules it replaces, so checkpoints
+    interchange freely between the fused and plain stage paths."""
+
+    in_features: int
+    planes: int
+    blocks: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            f"block{i}": _BottleneckParams(
+                self.in_features if i == 0 else self.planes * 4, self.planes,
+                downsample=(i == 0), name=f"block{i}")()
+            for i in range(self.blocks)
+        }
+
+
 class ResNetBase(nn.Module):
     """conv1..layer3 → [B, H/16, W/16, 1024] (RCNN_base, resnet.py:238-239).
 
@@ -314,6 +333,13 @@ class ResNetBase(nn.Module):
     # contract — layer1 never trains for FIXED_BLOCKS >= 1, the reference
     # default). Same gating as the stem: TPU backend or interpret mode.
     layer1_fused: bool = False
+    # Pallas fused frozen stages (ops/res_stage_pallas.py): 2 fuses layer2,
+    # 3 fuses layer2+layer3 — the whole chain of bottleneck blocks per stage
+    # runs in one forward-only kernel on a VMEM-resident activation slab.
+    # Forward-only contract: requires frozen_stages >= stage, OR the caller
+    # passes fwd_only=True at call time (the no-gradient eval path). Same
+    # backend gating as the stem.
+    stages_fused: int = 0
     # RESNET.FIXED_BLOCKS: stages layer1..layerN are frozen (conv1/bn1 always).
     # Cutting the gradient at the frozen-prefix boundary lets XLA delete the
     # whole backward through those stages — the same pruning torch autograd
@@ -322,14 +348,17 @@ class ResNetBase(nn.Module):
     frozen_stages: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fwd_only: bool = False):
         import jax
 
         specs = LAYER_SPECS[self.num_layers]
         layer = nn.remat(ResLayer) if self.remat else ResLayer
         pallas_ok = self.stem_interpret or jax.default_backend() == "tpu"
         fuse_stem = self.conv1_fused and pallas_ok
-        fuse_l1 = self.layer1_fused and fuse_stem and self.frozen_stages >= 1
+        fuse_l1 = self.layer1_fused and fuse_stem and \
+            (self.frozen_stages >= 1 or fwd_only)
+        fuse_stage = lambda n: (self.stages_fused >= n and pallas_ok
+                                and (self.frozen_stages >= n or fwd_only))
         if fuse_stem:
             from rlobjectdetection_tpu.ops.stem_pallas import fused_stem
 
@@ -360,10 +389,28 @@ class ResNetBase(nn.Module):
             x = layer(64, specs[0], 1, self.dtype, name="layer1")(x)
         if self.frozen_stages == 1:
             x = lax.stop_gradient(x)
-        x = layer(128, specs[1], 2, self.dtype, name="layer2")(x)
+        if fuse_stage(2):
+            from rlobjectdetection_tpu.ops.res_stage_pallas import fused_res_stage
+
+            p_l2 = _StageParams(256, 128, specs[1], name="layer2")()
+            x = fused_res_stage(x[:, ::2, ::2, :], p_l2, blocks=specs[1],
+                                width=128, out_dtype=self.dtype,
+                                compute_dtype=self.dtype,
+                                interpret=self.stem_interpret)
+        else:
+            x = layer(128, specs[1], 2, self.dtype, name="layer2")(x)
         if self.frozen_stages == 2:
             x = lax.stop_gradient(x)
-        x = layer(256, specs[2], 2, self.dtype, name="layer3")(x)
+        if fuse_stage(3):
+            from rlobjectdetection_tpu.ops.res_stage_pallas import fused_res_stage
+
+            p_l3 = _StageParams(512, 256, specs[2], name="layer3")()
+            x = fused_res_stage(x[:, ::2, ::2, :], p_l3, blocks=specs[2],
+                                width=256, out_dtype=self.dtype,
+                                compute_dtype=self.dtype,
+                                interpret=self.stem_interpret)
+        else:
+            x = layer(256, specs[2], 2, self.dtype, name="layer3")(x)
         if self.frozen_stages >= 3:
             x = lax.stop_gradient(x)
         return x

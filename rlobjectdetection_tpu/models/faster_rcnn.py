@@ -84,6 +84,7 @@ class FasterRCNN(nn.Module):
                                    conv1_s2d=self.cfg.CONV1_S2D,
                                    conv1_fused=self.cfg.CONV1_FUSED,
                                    layer1_fused=self.cfg.LAYER1_FUSED,
+                                   stages_fused=self.cfg.STAGE_FUSED,
                                    frozen_stages=self.cfg.RESNET.FIXED_BLOCKS)
             self.head = ResNetHead(num_layers=layers, dtype=dtype)
             self.dout_base = 1024
@@ -144,7 +145,13 @@ class FasterRCNN(nn.Module):
         c = self.cfg
         b = im_data.shape[0]
 
-        base_feat = self.base(im_data.astype(self._dtype))
+        if isinstance(self.base, ResNetBase):
+            # eval computes no gradients, so frozen-stage fusion (STAGE_FUSED)
+            # applies regardless of FIXED_BLOCKS
+            base_feat = self.base(im_data.astype(self._dtype),
+                                  fwd_only=not train)
+        else:
+            base_feat = self.base(im_data.astype(self._dtype))
         rpn_cls, rpn_delta = self.rpn(base_feat)
         num_anchors = self.rpn.num_anchors
         fg_probs = rpn_fg_probs(rpn_cls, num_anchors)

@@ -32,6 +32,9 @@ class RLPolicyNet(nn.Module):
     # detector's CONV1_FUSED.
     conv1_fused: bool = False
     layer1_fused: bool = False
+    # Pallas fused layer2/layer3 (ops/res_stage_pallas.py): always safe here
+    # because the whole conv1..layer3 trunk is frozen. 0 = off, 2, or 3.
+    stages_fused: int = 0
     stem_interpret: bool = False
 
     def setup(self):
@@ -41,6 +44,7 @@ class RLPolicyNet(nn.Module):
         self.base = ResNetBase(num_layers=self.num_layers, dtype=self.dtype,
                                frozen_stages=3, conv1_fused=self.conv1_fused,
                                layer1_fused=self.layer1_fused,
+                               stages_fused=self.stages_fused,
                                stem_interpret=self.stem_interpret)
         # stride-1 layer4 (l.120); its BN affine TRAINS upstream —
         # freeze_layer (l.139-147) covers only conv1..layer3, so layer4 BN

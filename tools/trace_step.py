@@ -45,7 +45,8 @@ def main():
 
         rl_step, p, o, inputs = make_rl_step(
             bs, h, w, fused_stem="--no-fused-stem" not in sys.argv,
-            fused_layer1="--no-fused-layer1" not in sys.argv)
+            fused_layer1="--no-fused-layer1" not in sys.argv,
+            fused_stages=3 if "--fused-stages" in sys.argv else 0)
         holder = {"p": p, "o": o}
 
         def run_rl():
