@@ -26,6 +26,16 @@ BASELINE_IMG_PER_SEC_PER_GPU = 0.68
 V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
 
 
+def _fused_stages_flag():
+    """--fused-stages[=N] -> digit-coded STAGE_FUSED (bare flag = 23 = both)."""
+    for a in sys.argv[1:]:
+        if a == "--fused-stages":
+            return 23
+        if a.startswith("--fused-stages="):
+            return int(a.split("=", 1)[1])
+    return 0
+
+
 def _xla_flops(fn, *args):
     """XLA's own FLOP count for jitted fn at these args (None if unsupported)."""
     try:
@@ -97,7 +107,7 @@ def main():
                     else "autodiff"),
         # frozen-stage fusion: no-op for the train bench (FIXED_BLOCKS=1
         # blocks it in train mode); engages on the eval forward of --infer
-        STAGE_FUSED=3 if "--fused-stages" in sys.argv else 0,
+        STAGE_FUSED=_fused_stages_flag(),
     )
     h, w, g = 800, 1216, 50
     if "--rl" in sys.argv:
@@ -210,7 +220,7 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
     step, params, opt_state, inputs = make_rl_step(
         batch_size, h, w, n_boxes, fused_stem=fused,
         fused_layer1=fused and "--no-fused-layer1" not in sys.argv,
-        fused_stages=3 if "--fused-stages" in sys.argv else 0)
+        fused_stages=_fused_stages_flag())
 
     holder = {"p": params, "o": opt_state}
 

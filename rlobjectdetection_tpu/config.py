@@ -123,8 +123,9 @@ class Config:
     CONV1_S2D: bool = False          # space-to-depth stem (identical numerics; measured slower on v5e)
     CONV1_FUSED: bool = False        # Pallas fused stem (conv1+bn+relu+maxpool); TPU single-device only
     LAYER1_FUSED: bool = False       # Pallas fused layer1 (3 bottlenecks); needs CONV1_FUSED + FIXED_BLOCKS>=1
-    STAGE_FUSED: int = 0             # Pallas fused frozen stages: 2 = layer2, 3 = layer2+3 (forward-only:
-                                     # needs FIXED_BLOCKS >= stage in training; eval fuses regardless)
+    STAGE_FUSED: int = 0             # Pallas fused frozen stages, digit-coded: 2 = layer2, 3 = layer3,
+                                     # 23 = both (forward-only: needs FIXED_BLOCKS >= stage in training;
+                                     # eval fuses regardless)
 
 
 def _coerce(old: Any, new: Any, key: str) -> Any:

@@ -357,7 +357,8 @@ class ResNetBase(nn.Module):
         fuse_stem = self.conv1_fused and pallas_ok
         fuse_l1 = self.layer1_fused and fuse_stem and \
             (self.frozen_stages >= 1 or fwd_only)
-        fuse_stage = lambda n: (self.stages_fused >= n and pallas_ok
+        # digit-coded: STAGE_FUSED=2 fuses layer2, 3 fuses layer3, 23 both
+        fuse_stage = lambda n: (str(n) in str(self.stages_fused) and pallas_ok
                                 and (self.frozen_stages >= n or fwd_only))
         if fuse_stem:
             from rlobjectdetection_tpu.ops.stem_pallas import fused_stem

@@ -43,6 +43,7 @@ def _layer_and_params(rng, planes, blocks, stride, cin, key=0):
     (1, 13, 11, 8, 3, 2, 16, 48),   # layer2-like: stride-2 entry, 3 chunks
     (2, 7, 9, 8, 2, 1, 32, 1024),   # stride-1 entry, single chunk, 2 images
     (1, 10, 6, 16, 4, 2, 8, 16),    # tiny chunk = many partial-halo chunks
+    (1, 5, 16, 8, 2, 1, 16, 32),    # Wo a multiple of 16 (aligned row case)
 ])
 def test_fused_res_stage_matches_reslayer(b, h, w, planes, blocks, stride,
                                           cin, chunk):
@@ -60,7 +61,7 @@ def test_fused_res_stage_matches_reslayer(b, h, w, planes, blocks, stride,
 
 
 def test_resnet_base_fused_stages_drop_in():
-    """ResNetBase(stages_fused=3) is a drop-in: identical param tree, same
+    """ResNetBase(stages_fused=23) is a drop-in: identical param tree, same
     output as the plain XLA path (f32, interpret on CPU), and the fused
     stages only engage when the forward-only contract holds."""
     from rlobjectdetection_tpu.models.backbones.resnet import ResNetBase
@@ -69,7 +70,7 @@ def test_resnet_base_fused_stages_drop_in():
     x = jnp.asarray(rng.randn(1, 64, 48, 3).astype(np.float32) * 5)
     plain = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=3)
     fused = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=3,
-                       stages_fused=3, stem_interpret=True)
+                       stages_fused=23, stem_interpret=True)
     params = plain.init(jax.random.PRNGKey(3), x)["params"]
     fused_params = fused.init(jax.random.PRNGKey(3), x)["params"]
     assert jax.tree_util.tree_structure(params) == \
@@ -85,7 +86,7 @@ def test_resnet_base_fused_stages_drop_in():
     # frozen_stages=1 blocks stage fusion in training mode (fwd_only=False):
     # output must still match the plain path because the plain stages run
     trainy = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=1,
-                        stages_fused=3, stem_interpret=True)
+                        stages_fused=23, stem_interpret=True)
     got2 = trainy.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

@@ -41,12 +41,12 @@ def main():
     infer_mode = "--infer" in sys.argv
     h, w, g = 800, 1216, 50
     if "--rl" in sys.argv:
-        from bench import make_rl_step
+        from bench import _fused_stages_flag, make_rl_step
 
         rl_step, p, o, inputs = make_rl_step(
             bs, h, w, fused_stem="--no-fused-stem" not in sys.argv,
             fused_layer1="--no-fused-layer1" not in sys.argv,
-            fused_stages=3 if "--fused-stages" in sys.argv else 0)
+            fused_stages=_fused_stages_flag())
         holder = {"p": p, "o": o}
 
         def run_rl():
