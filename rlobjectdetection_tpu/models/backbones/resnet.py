@@ -333,9 +333,11 @@ class ResNetBase(nn.Module):
     # contract — layer1 never trains for FIXED_BLOCKS >= 1, the reference
     # default). Same gating as the stem: TPU backend or interpret mode.
     layer1_fused: bool = False
-    # Pallas fused frozen stages (ops/res_stage_pallas.py): 2 fuses layer2,
-    # 3 fuses layer2+layer3 — the whole chain of bottleneck blocks per stage
-    # runs in one forward-only kernel on a VMEM-resident activation slab.
+    # Pallas fused frozen stages (ops/res_stage_pallas.py), digit-coded:
+    # 2 fuses layer2, 3 fuses layer3, 23 both — the whole chain of bottleneck
+    # blocks per stage runs in one forward-only kernel on a VMEM activation
+    # slab. A measured negative result vs XLA at these widths (DESIGN.md);
+    # kept opt-in for future toolchains.
     # Forward-only contract: requires frozen_stages >= stage, OR the caller
     # passes fwd_only=True at call time (the no-gradient eval path). Same
     # backend gating as the stem.
@@ -353,11 +355,17 @@ class ResNetBase(nn.Module):
 
         specs = LAYER_SPECS[self.num_layers]
         layer = nn.remat(ResLayer) if self.remat else ResLayer
-        pallas_ok = self.stem_interpret or jax.default_backend() == "tpu"
+        # single-device TPU only: the pallas_calls have no GSPMD partitioning
+        # rule, so multi-device meshes must take the plain XLA path below
+        pallas_ok = self.stem_interpret or (
+            jax.default_backend() == "tpu" and len(jax.devices()) == 1)
         fuse_stem = self.conv1_fused and pallas_ok
         fuse_l1 = self.layer1_fused and fuse_stem and \
             (self.frozen_stages >= 1 or fwd_only)
         # digit-coded: STAGE_FUSED=2 fuses layer2, 3 fuses layer3, 23 both
+        assert self.stages_fused in (0, 2, 3, 23), (
+            f"stages_fused must be one of 0/2/3/23 (digit-coded), got "
+            f"{self.stages_fused!r}")
         fuse_stage = lambda n: (str(n) in str(self.stages_fused) and pallas_ok
                                 and (self.frozen_stages >= n or fwd_only))
         if fuse_stem:

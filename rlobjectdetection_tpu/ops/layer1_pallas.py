@@ -64,15 +64,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _bn_mul_add(scale, bias, mean, var, eps):
-    """FrozenBatchNorm fold (f32): y = x*mul + add. The mul is folded into
-    the preceding conv's weight rows host-side (diag(mul) @ W), so the
-    kernel applies only the add."""
-    inv = lax.rsqrt(var.astype(jnp.float32) + eps)
-    mul = scale.astype(jnp.float32) * inv
-    add = bias.astype(jnp.float32) - mean.astype(jnp.float32) * mul
-    return mul, add
+from rlobjectdetection_tpu.ops.bn_fold import bn_mul_add as _bn_mul_add
 
 
 def _l1_kernel(xp_hbm, m1_0, m1_12, m2s, m3s, md, bn1s, bn2s, bn3s, bnd,
@@ -323,6 +315,9 @@ def fused_layer1(x_cw, params, *, out_dtype=jnp.bfloat16,
     params: the 'layer1' subtree of ResNetBase params (block0..block2).
     Returns [B, H, W, 256] NHWC for XLA's layer2.
     """
+    assert tile_rows % 2 == 0 and tile_rows > 0, (
+        f"tile_rows must be a positive even number (the conv2/conv3 stages "
+        f"stream 2-row chunks), got {tile_rows}")
     packed = _pack_params(params, jnp.dtype(compute_dtype), eps)
     static = (jnp.dtype(out_dtype).name, jnp.dtype(compute_dtype).name,
               int(tile_rows), bool(interpret))

@@ -40,6 +40,14 @@ Forward-only by contract: layer2/layer3 are frozen for RESNET.FIXED_BLOCKS
 trunk (Reinforcement/resnet.py:139-147), and the eval/serving path computes
 no gradients at all. The custom_vjp raises if ever differentiated;
 ResNetBase gates the fused path on those contracts.
+
+Status: a measured NEGATIVE result end-to-end (DESIGN.md "Fused Pallas
+layer1 and frozen residual stages") — XLA's conv schedule wins at
+layer2/3 widths, so this stays opt-in/off. Known untried improvement if
+revisited: the input x is a VMEM BlockSpec operand pinned for every
+(b, j) grid step though only block j=0 reads it; moving it to ANY/HBM
+with an explicit j==0 DMA (the stem/layer1 pattern) frees ~4-8 MB of
+VMEM for pipelining.
 """
 
 from __future__ import annotations
@@ -52,7 +60,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rlobjectdetection_tpu.ops.layer1_pallas import _bn_mul_add
+from rlobjectdetection_tpu.ops.bn_fold import bn_mul_add as _bn_mul_add
 
 _HALO = 16  # sublane-aligned chunk overlap; the 3x3 dx taps need only +-1
 

@@ -61,6 +61,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rlobjectdetection_tpu.ops.bn_fold import bn_mul_add
+
 
 def stem_out_shapes(h: int, w: int) -> tuple[int, int, int, int]:
     """(conv_h, conv_w, pool_h, pool_w) of the stem for an HxW input."""
@@ -137,7 +139,7 @@ def _deinterleave(xfp, ws, compute_dtype, chunk, interpret):
 
 
 def _stem_kernel(xs_hbm, wm_ref, mul_ref, add_ref, sel_ref, out_ref,
-                 xs_buf, ybuf, r256, sem, *, nt, total, tp, rws, oh, ow, pw,
+                 xs_buf, ybuf, r256, sem, *, nt, total, tp, rws, oh, ow,
                  out_dtype, cw):
     th = 2 * tp + 1
     b = pl.program_id(0)
@@ -224,18 +226,15 @@ def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
     xs = _deinterleave(_flatten_pad(x, rowsp, ws, compute_dtype),
                        ws, compute_dtype, chunk, interpret)
     wm = _pack_weight(kernel, compute_dtype)
-    inv = lax.rsqrt(var.astype(jnp.float32) + eps)
-    mul = (scale.astype(jnp.float32) * inv).reshape(64, 1)
-    add = (bias.astype(jnp.float32)
-           - mean.astype(jnp.float32) * scale.astype(jnp.float32) * inv
-           ).reshape(64, 1)
+    mul, add = bn_mul_add(scale, bias, mean, var, eps)
+    mul, add = mul.reshape(64, 1), add.reshape(64, 1)
     # 0/1 selection matrix: sel[i, q] = (i == 2q) — compacts the 3-tap width
     # max to stride-2 cells AND transposes [64, OW] -> [PW, 64] on the MXU
     sel = (np.arange(ow)[:, None] == 2 * np.arange(pww)[None, :])
     sel = jnp.asarray(sel, dtype=compute_dtype)
 
     kern = partial(_stem_kernel, nt=nt, total=b * nt, tp=tp, rws=rws,
-                   oh=oh, ow=ow, pw=pww, out_dtype=out_dtype, cw=cw)
+                   oh=oh, ow=ow, out_dtype=out_dtype, cw=cw)
     out_block = (1, tp, 64, pww) if cw else (1, tp, pww, 64)
     out = pl.pallas_call(
         kern,
