@@ -105,3 +105,16 @@ def test_fused_layer1_is_forward_only():
     g = jax.grad(loss_stopped)(params)
     for leaf in jax.tree_util.tree_leaves(g):
         np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+
+def test_fused_layer1_rejects_odd_tile_rows():
+    """Odd tile_rows would leave the last band row uninitialized (the
+    conv2/conv3 stages stream 2-row chunks) — must fail fast, not NaN."""
+    rng = np.random.RandomState(11)
+    x_cw = jnp.asarray(rng.randn(1, 10, 64, 20).astype(np.float32))
+    layer = ResLayer(64, 3, 1, jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 10, 20, 64)))["params"]
+    with pytest.raises(AssertionError, match="even"):
+        fused_layer1(x_cw, params, out_dtype=jnp.float32,
+                     compute_dtype=jnp.float32, tile_rows=5, interpret=True)

@@ -109,3 +109,15 @@ def test_fused_res_stage_is_forward_only():
 
     with pytest.raises(NotImplementedError, match="forward-only"):
         jax.grad(f)(x)
+
+
+def test_resnet_base_rejects_malformed_stages_fused():
+    """stages_fused is digit-coded {0,2,3,23}; anything else must fail fast
+    (a typo like 1 or 32 would otherwise silently change which stages fuse)."""
+    from rlobjectdetection_tpu.models.backbones.resnet import ResNetBase
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    bad = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=3,
+                     stages_fused=32, stem_interpret=True)
+    with pytest.raises(AssertionError, match="digit-coded"):
+        bad.init(jax.random.PRNGKey(0), x)
