@@ -36,15 +36,25 @@ def _fused_stages_flag():
     return 0
 
 
-def _xla_flops(fn, *args):
-    """XLA's own FLOP count for jitted fn at these args (None if unsupported)."""
+def _xla_flops_and_exec(fn, *args):
+    """Compile the jitted fn once: returns (XLA FLOP count or None, callable).
+
+    The compiled AOT executable is returned as the callable to benchmark —
+    the jit dispatch cache does not share AOT compiles, so calling the jitted
+    fn afterwards would pay the full-step compile a second time (~5-7 min on
+    the tunneled TPU backend, CLAUDE.md)."""
     try:
-        cost = fn.lower(*args).compile().cost_analysis()
+        compiled = fn.lower(*args).compile()
+    except Exception:
+        return None, fn
+    try:
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        flops = float(cost.get("flops", 0.0)) or None
     except Exception:
-        return None
+        flops = None
+    return flops, compiled
 
 
 def _measure_and_report(metric, run_once, sync, batch_size, iters=30,
@@ -86,7 +96,8 @@ def main():
     import jax.numpy as jnp
 
     from rlobjectdetection_tpu.config import Config
-    from rlobjectdetection_tpu.engine import build_optimizer, create_train_state, make_train_step
+    from rlobjectdetection_tpu.engine import build_optimizer, make_train_step
+    from rlobjectdetection_tpu.engine.train import TrainState
     from rlobjectdetection_tpu.models import FasterRCNN
 
     # COCO scale-800 config (BASELINE.md bench row): short side 800, padded to
@@ -123,30 +134,32 @@ def main():
         "num_boxes": jnp.asarray(np.full((batch_size,), 8, dtype=np.int32)),
     }
 
-    tx, _ = build_optimizer(
-        model.init(
-            {"params": jax.random.PRNGKey(3), "sampling": jax.random.PRNGKey(4),
-             "dropout": jax.random.PRNGKey(5)},
-            batch["data"], batch["im_info"], batch["gt_boxes"], batch["num_boxes"],
-            train=True,
-        )["params"],
-        "resnet101", base_lr=0.01,
-    )
-    state = create_train_state(model, tx, batch)
+    # init ONCE, jitted (flax init dispatches op-by-op otherwise — thousands
+    # of round trips over the tunneled backend), and share the params between
+    # the optimizer labels and the train state
+    ikey = jax.random.PRNGKey(3)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": ikey, "sampling": ikey, "dropout": ikey},
+        batch["data"], batch["im_info"], batch["gt_boxes"], batch["num_boxes"],
+        train=True,
+    )["params"]
+    tx, _ = build_optimizer(params, "resnet101", base_lr=0.01)
+    state = TrainState(params, tx.init(params), jnp.int32(0))
     step = make_train_step(model, tx, donate="--donate" in sys.argv)
 
     if "--infer" in sys.argv:
         _bench_infer(model, state.params, batch, batch_size)
         return
 
-    # XLA's own FLOP count for the whole train step → MFU against v5e bf16 peak
+    # ONE compile serves both the FLOP count (→ MFU vs v5e bf16 peak) and the
+    # timed loop
     key = jax.random.PRNGKey(7)
-    step_flops = _xla_flops(step, state, batch, key)
+    step_flops, step_c = _xla_flops_and_exec(step, state, batch, key)
 
     holder = {"state": state, "i": 0}
 
     def run_once():
-        holder["state"], metrics = step(
+        holder["state"], metrics = step_c(
             holder["state"], batch, jax.random.fold_in(key, holder["i"]))
         holder["i"] += 1
         return metrics
@@ -222,15 +235,15 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
         fused_layer1=fused and "--no-fused-layer1" not in sys.argv,
         fused_stages=_fused_stages_flag())
 
+    step_flops, step_c = _xla_flops_and_exec(step, params, opt_state, *inputs)
     holder = {"p": params, "o": opt_state}
 
     def run_once():
-        holder["p"], holder["o"], loss = step(holder["p"], holder["o"], *inputs)
+        holder["p"], holder["o"], loss = step_c(holder["p"], holder["o"], *inputs)
         return loss
 
     _measure_and_report("rl_train_images_per_sec_per_chip_res101_coco800",
-                        run_once, float, batch_size,
-                        step_flops=_xla_flops(step, params, opt_state, *inputs))
+                        run_once, float, batch_size, step_flops=step_flops)
 
 
 def _bench_infer(model, params, batch, batch_size):
@@ -258,10 +271,12 @@ def _bench_infer(model, params, batch, batch_size):
         return res, res[0].ravel()[0].astype(jnp.float32)
 
     data, info = batch["data"], batch["im_info"]
+    step_flops, infer_c = _xla_flops_and_exec(infer, params, data, info,
+                                              jnp.float32(0.0))
     holder = {"token": jnp.float32(0.0)}
 
     def run_once():
-        res, holder["token"] = infer(params, data, info, holder["token"])
+        res, holder["token"] = infer_c(params, data, info, holder["token"])
         return res
 
     # steps are ~10 ms at bs1 — use a wide window so one dispatch hiccup over
@@ -269,9 +284,7 @@ def _bench_infer(model, params, batch, batch_size):
     _measure_and_report("infer_images_per_sec_per_chip_res101_coco800",
                         run_once,
                         lambda r: float(jnp.asarray(r[0]).ravel()[0]),
-                        batch_size, iters=300,
-                        step_flops=_xla_flops(infer, params, data, info,
-                                              jnp.float32(0.0)))
+                        batch_size, iters=300, step_flops=step_flops)
 
 
 def _gt(rng, b, g, h, w):

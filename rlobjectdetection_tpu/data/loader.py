@@ -30,6 +30,15 @@ class DetectionBatch(dict):
     num_boxes [N]."""
 
 
+def _img_rng(seed: int, pos: int) -> np.random.RandomState:
+    """Deterministic per-image stream derived from (batch seed, position in
+    the GLOBAL batch). Any contiguous slice of a batch then reproduces the
+    corresponding rows of the full assembly bit-for-bit — the property the
+    multi-host sliced input pipeline (HostShardLoader) rests on."""
+    return np.random.RandomState(
+        np.random.SeedSequence((int(seed), int(pos))).generate_state(4))
+
+
 def compute_batch_ratios(ratio_list: np.ndarray, batch_size: int) -> np.ndarray:
     """Per-sample target ratio, constant within each contiguous batch block
     (roibatchLoader.py:38-54)."""
@@ -149,15 +158,24 @@ class RoiBatchLoader:
 
     def _assemble(self, indices, target_ratio: float, rng=None,
                   pad_hw: tuple[int, int] | None = None,
-                  pad_count: int | None = None) -> DetectionBatch:
+                  pad_count: int | None = None, seed: int | None = None,
+                  index_offset: int = 0,
+                  strict_pad: bool = False) -> DetectionBatch:
         """pad_hw/pad_count force the blob to a fixed [pad_count, *pad_hw, 3]
         canvas (bucketed eval batching: every batch of a bucket — including the
         final partial one — reuses ONE compiled shape; padding rows carry
-        im_info = (ph, pw, 1) and zero pixels, and are dropped by the caller)."""
+        im_info = (ph, pw, 1) and zero pixels, and are dropped by the caller).
+
+        seed/index_offset switch to per-image rng streams (_img_rng): image i
+        uses stream (seed, index_offset + i), so a slice of a batch assembled
+        at its global offset is bit-identical to the same rows of the full
+        assembly. strict_pad errors instead of growing past pad_hw (multi-host
+        slices must all agree on the global canvas)."""
         rng = rng if rng is not None else self.rng
         ims, gts, scales = [], [], []
-        for idx in indices:
-            im, gt, s = self._load_one(idx, target_ratio, rng)
+        for i, idx in enumerate(indices):
+            r = _img_rng(seed, index_offset + i) if seed is not None else rng
+            im, gt, s = self._load_one(idx, target_ratio, r)
             ims.append(im)
             gts.append(gt)
             scales.append(s)
@@ -170,6 +188,11 @@ class RoiBatchLoader:
             # cv2-rounded resize by an ulp — quantized, so growth stays bucketed
             ph, pw = pad_hw
             if max_h > ph or max_w > pw:
+                if strict_pad:
+                    raise ValueError(
+                        f"decoded batch ({max_h}x{max_w}) exceeds the planned "
+                        f"canvas {pad_hw} — multi-host slices must agree on "
+                        f"the global shape (predict_train_canvas bug?)")
                 ph, pw = pad_shape(max(max_h, ph), max(max_w, pw), self.pad_multiple)
         n = pad_count if pad_count is not None else len(ims)
         blob = np.zeros((n, ph, pw, 3), dtype=np.float32)
@@ -202,11 +225,22 @@ class RoiBatchLoader:
         plan = []
         if self.training:
             # the reference sampler (RCNN_bases/trainval_net.py:123-146): random
-            # permutation of whole batches over the ratio-sorted index
-            starts = self.rng.permutation(self.num_batches) * self.batch_size
+            # permutation of whole batches over the ratio-sorted index. The
+            # reference trains its short leftover batch every epoch; fixed
+            # shapes force drop_last here, so rotate the block grid by a fresh
+            # per-epoch offset — otherwise the dropped tail is permanently the
+            # same widest-aspect images
+            tail = n - self.num_batches * self.batch_size
+            off = int(self.rng.randint(0, tail + 1)) if tail else 0
+            starts = self.rng.permutation(self.num_batches) * self.batch_size + off
             for s in starts:
                 idxs = [int(self.ratio_index[i]) for i in range(s, s + self.batch_size)]
-                plan.append((idxs, float(self.batch_ratios[s]),
+                # per-block target ratio, the compute_batch_ratios rule on the
+                # shifted block (roibatchLoader.py:38-54)
+                rl = self.ratio_list[s]
+                rr = self.ratio_list[s + self.batch_size - 1]
+                target = rl if rr < 1 else (rr if rl > 1 else 1.0)
+                plan.append((idxs, float(target),
                              int(self.rng.randint(0, 2 ** 31))))
         else:
             for s in range(0, n, self.batch_size):
@@ -214,9 +248,83 @@ class RoiBatchLoader:
                 plan.append((idxs, 1.0, int(self.rng.randint(0, 2 ** 31))))
         return plan
 
+    def assemble_job(self, job) -> DetectionBatch:
+        """Assemble one batch_plan() entry (the AsyncLoader work unit)."""
+        idxs, ratio, seed = job
+        return self._assemble(idxs, ratio, seed=seed)
+
+    def predict_train_canvas(self, indices, target_ratio: float, seed: int,
+                             index_offset: int = 0) -> tuple[int, int]:
+        """Predicted padded (H, W) of _assemble for this batch WITHOUT
+        decoding any image — from roidb dims, the deterministic per-image rng
+        stream (scale pick is its first draw), and the crop shape rules of
+        _load_one/_crop_to_ratio (window positions are random; the cropped
+        EXTENT is not). Lets every host of a multi-host run agree on the
+        global canvas while assembling only its local slice; exactness vs the
+        real assembly is pinned by tests/test_data.py."""
+        hs, ws = [], []
+        for i, idx in enumerate(indices):
+            e = self.roidb[idx]
+            r = _img_rng(seed, index_offset + i)
+            scale = self.scales[r.randint(0, len(self.scales))]
+            h0, w0 = int(e["height"]), int(e["width"])
+            s = float(scale) / min(h0, w0)
+            # cv2.resize size = round-half-even, same as python round()
+            rh, rw = int(round(h0 * s)), int(round(w0 * s))
+            has_gt = bool(np.any(e["gt_classes"] != 0))
+            if self.training and e.get("need_crop", 0) and has_gt:
+                if target_ratio < 1:
+                    rh = min(int(np.floor(rw / target_ratio)), rh)
+                else:
+                    rw = min(int(np.ceil(rh * target_ratio)), rw)
+            if self.training and target_ratio == 1.0:
+                rh = rw = min(rh, rw)
+            hs.append(rh)
+            ws.append(rw)
+        return pad_shape(max(hs), max(ws), self.pad_multiple)
+
     def __iter__(self) -> Iterator[DetectionBatch]:
-        for idxs, ratio, seed in self.batch_plan():
-            yield self._assemble(idxs, ratio, np.random.RandomState(seed))
+        for job in self.batch_plan():
+            yield self.assemble_job(job)
+
+
+class HostShardLoader:
+    """Per-host slice view of a RoiBatchLoader for multi-host training.
+
+    Every host shares the same seeded batch_plan(), but decoding the full
+    global batch on each host makes the input pipeline scale at 1/N hosts.
+    This wrapper assembles only rows [start, start+size) of every batch:
+    the per-image rng streams make the slice bit-identical to those rows of
+    a single-host assembly, and the global canvas comes from
+    predict_train_canvas so all hosts produce shape-consistent local shards
+    for jax.make_array_from_process_local_data (parallel/distributed.py::
+    shard_local_batch). AsyncLoader-compatible (batch_plan/assemble_job)."""
+
+    def __init__(self, loader: "RoiBatchLoader", start: int, size: int):
+        self.loader = loader
+        self.start = start
+        self.size = size
+
+    def __len__(self):
+        return len(self.loader)
+
+    def batch_plan(self):
+        plan = []
+        for idxs, ratio, seed in self.loader.batch_plan():
+            canvas = self.loader.predict_train_canvas(idxs, ratio, seed)
+            plan.append((idxs[self.start:self.start + self.size],
+                         ratio, seed, canvas))
+        return plan
+
+    def assemble_job(self, job) -> DetectionBatch:
+        idxs, ratio, seed, canvas = job
+        return self.loader._assemble(
+            idxs, ratio, seed=seed, index_offset=self.start,
+            pad_hw=canvas, strict_pad=True)
+
+    def __iter__(self) -> Iterator[DetectionBatch]:
+        for job in self.batch_plan():
+            yield self.assemble_job(job)
 
 
 def eval_bucket_plan(roidb, scale: int, batch_size: int,

@@ -18,8 +18,6 @@ import collections
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
-import numpy as np
-
 
 class AsyncLoader:
     """Wraps RoiBatchLoader: assembles up to `num_workers` batches concurrently,
@@ -54,9 +52,7 @@ class AsyncLoader:
             it = iter(plan)
 
             def submit(job):
-                idxs, ratio, seed = job
-                return pool.submit(self.loader._assemble, idxs, ratio,
-                                   np.random.RandomState(seed))
+                return pool.submit(self.loader.assemble_job, job)
 
             for _ in range(self.num_workers + self.prefetch):
                 job = next(it, None)

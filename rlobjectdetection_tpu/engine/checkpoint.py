@@ -40,27 +40,35 @@ def save_checkpoint(path: str, state, *, session: int = 1, epoch: int = 0,
                     pooling_mode: str = "align", class_agnostic: bool = False,
                     extra: dict | None = None):
     """Save a train state (orbax pytree dir) + sidecar meta.json; path is a
-    directory."""
+    directory.
+
+    Multi-process runs: EVERY process must call this — orbax's save
+    synchronizes all hosts (a rank-0-only call deadlocks at its first global
+    barrier), and replicated global arrays are passed through so orbax writes
+    each from its primary replica. meta.json is written by process 0 only.
+    """
     import json
 
     ocp = _ocp()
     path = os.path.abspath(path)
+    conv = (lambda t: t) if jax.process_count() > 1 else _to_local
     payload = {
-        "params": _to_local(state.params),
-        "opt_state": _to_local(state.opt_state),
+        "params": conv(state.params),
+        "opt_state": conv(state.opt_state),
         "step": np.asarray(_to_local(state.step)),
     }
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
-    meta = {
-        "session": session,
-        "epoch": epoch,
-        "pooling_mode": pooling_mode,
-        "class_agnostic": class_agnostic,
-        **(extra or {}),
-    }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        meta = {
+            "session": session,
+            "epoch": epoch,
+            "pooling_mode": pooling_mode,
+            "class_agnostic": class_agnostic,
+            **(extra or {}),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
     return path
 
 

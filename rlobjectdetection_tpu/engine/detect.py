@@ -82,8 +82,9 @@ def postprocess_detections(
 
     flat_scores = jnp.where(sv, ss, -1.0).reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat_scores, max_per_image)
-    out_valid = top_scores > 0.0 if score_thresh == 0.0 else top_scores > score_thresh
-    out_valid = out_valid & (top_scores > -0.5)
+    # score_thresh >= 0 in all callers, so this also drops the -1.0
+    # invalid-lane sentinel
+    out_valid = top_scores > score_thresh
     cls_of = top_idx // max_per_image + 1
     out_boxes = sb.reshape(-1, 4)[top_idx]
     return out_boxes, top_scores, cls_of.astype(jnp.int32), out_valid

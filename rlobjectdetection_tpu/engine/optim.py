@@ -32,6 +32,8 @@ def param_labels(params, backbone: str, fixed_blocks: int = 1):
         if keys and keys[0] == "base":
             sub = keys[1:]
             if backbone == "vgg16":
+                # VGG freeze depth is fixed by the reference (conv blocks 1-2
+                # always, vgg16.py:41-42); RESNET.FIXED_BLOCKS does not apply
                 if not vgg_param_trainable(sub, fixed_blocks=2):
                     return "frozen"
             elif backbone.startswith("resnet"):
@@ -93,7 +95,14 @@ def build_optimizer(
         labels,
     )
     if clip_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+        # trainable-only global norm: the reference clips over params that
+        # have grads (net_utils.clip_gradient); including frozen leaves would
+        # shrink trainable updates whenever the frozen norm dominates AND
+        # keep the frozen backward alive (set_to_zero otherwise lets XLA
+        # delete it)
+        trainable = jax.tree_util.tree_map(lambda l: l != "frozen", labels)
+        tx = optax.chain(
+            optax.masked(optax.clip_by_global_norm(clip_norm), trainable), tx)
     return tx, labels
 
 

@@ -99,7 +99,10 @@ def shard_global_batch(mesh, batch: dict, axis: str = "data") -> dict:
 
     Every host materializes the same global batch (the loaders are seeded
     identically); each contributes only its own slice of the leading dim.
-    Single-process falls back to a plain sharded device_put.
+    Single-process falls back to a plain sharded device_put. NOTE: host-side
+    assembly cost scales with the GLOBAL batch here — the sliced input
+    pipeline (data/loader.py::HostShardLoader + shard_local_batch) assembles
+    only the local rows and is what tools/trainval_net.py uses multi-host.
     """
     import jax
     import numpy as np
@@ -115,3 +118,24 @@ def shard_global_batch(mesh, batch: dict, axis: str = "data") -> dict:
         return make_global_array(mesh, x[start:start + size], axis)
 
     return jax.tree_util.tree_map(one, batch)
+
+
+def shard_local_batch(mesh, batch: dict, axis: str = "data") -> dict:
+    """Assemble per-host LOCAL batch slices into the global sharded batch.
+
+    The counterpart of shard_global_batch for the sliced input pipeline:
+    each host decoded only its own rows (HostShardLoader), so host decode
+    cost scales at 1/N hosts. All hosts' slices must be shape-consistent
+    (HostShardLoader's predicted canvas guarantees it). Single-process:
+    the 'local' batch IS the global batch — plain sharded device_put.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        from .mesh import shard_batch
+
+        return shard_batch(mesh, batch, axis)
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: make_global_array(mesh, np.asarray(x), axis), batch)

@@ -19,6 +19,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) "
+            f"exist — a silently truncated mesh would break batch divisibility "
+            f"far from the cause")
     return Mesh(np.array(devices[:n]), (axis,))
 
 

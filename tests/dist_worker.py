@@ -102,10 +102,30 @@ def main():
                 leaf = leaf.addressable_data(0)
             sums.append(float(np.abs(np.asarray(leaf, np.float64)).sum()))
 
+        # checkpoint roundtrip under this process topology: EVERY process
+        # calls save/load (orbax synchronizes all hosts — a rank-0-only call
+        # deadlocks, the engine/checkpoint.py contract)
+        from rlobjectdetection_tpu.engine.checkpoint import (  # noqa: E402
+            load_checkpoint, save_checkpoint,
+        )
+
+        ckpt_dir = out_path + f".ckpt{nprocs}"
+        save_checkpoint(ckpt_dir, state, session=7, epoch=1)
+        fresh = TrainState(params, tx.init(params), jnp.int32(0))
+        restored, meta = load_checkpoint(ckpt_dir, fresh)
+        assert meta["session"] == 7 and meta["epoch"] == 1, meta
+        ck_ok = True
+        for a, b2 in zip(jax.tree_util.tree_leaves(state.params),
+                         jax.tree_util.tree_leaves(restored.params)):
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                a = a.addressable_data(0)
+            ck_ok &= bool(np.allclose(np.asarray(a), np.asarray(b2)))
+
     if rank == 0:
         with open(out_path, "w") as f:
             json.dump({"loss": loss, "fg": fetch_scalar(metrics["fg_cnt"]),
-                       "bg": fetch_scalar(metrics["bg_cnt"]), "sums": sums}, f)
+                       "bg": fetch_scalar(metrics["bg_cnt"]), "sums": sums,
+                       "ckpt_roundtrip": ck_ok}, f)
 
 
 if __name__ == "__main__":

@@ -298,3 +298,53 @@ def test_loader_straddle_square_crop_and_canvas_im_info():
                         max_num_gt=5, training=False)
     b0 = next(iter(ev))
     assert b0["im_info"][0, 0] == 200 * (160 / 160)  # tall image: h=200 @ scale 1
+
+
+def test_host_shard_loader_and_canvas_predictor(tmp_path):
+    """Multi-host sliced input pipeline: predict_train_canvas matches the
+    assembled canvas exactly (no decode), and HostShardLoader halves are
+    bit-identical to the corresponding rows of the full assembly."""
+    from PIL import Image
+
+    from rlobjectdetection_tpu.data.loader import HostShardLoader
+
+    root = tmp_path / "shard"
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(7)
+    roidb = []
+    # tall, wide, extreme (need_crop), square — plus flipped variants
+    shapes = [(200, 160), (160, 200), (100, 400), (400, 100), (240, 240),
+              (120, 300), (300, 120), (180, 220)]
+    for i, (h, w) in enumerate(shapes):
+        p = str(root / f"i{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(p)
+        roidb.append({
+            "image": p, "flipped": i % 2 == 1,
+            "boxes": np.array([[5, 5, w // 2, h // 2]], dtype=np.uint16),
+            "gt_classes": np.array([1], dtype=np.int32),
+            "width": w, "height": h,
+        })
+    ratio_list, ratio_index = rank_roidb_ratio(roidb)
+
+    def mk():
+        return RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size=4,
+                              scales=(100, 140), max_num_gt=5, seed=11)
+
+    # predictor exactness over several epochs (exercises the per-epoch block
+    # rotation, both crop branches, the straddle square, and the scale draw)
+    loader = mk()
+    for _ in range(3):
+        for idxs, ratio, seed in loader.batch_plan():
+            full = loader._assemble(idxs, ratio, seed=seed)
+            pred = loader.predict_train_canvas(idxs, ratio, seed)
+            assert tuple(full["data"].shape[1:3]) == pred, (ratio, idxs)
+
+    # slice bit-parity: rows of two half-slices == rows of the full assembly
+    full_batches = list(mk())
+    left = list(HostShardLoader(mk(), 0, 2))
+    right = list(HostShardLoader(mk(), 2, 2))
+    assert len(full_batches) == len(left) == len(right) == 2
+    for fb, lb, rb in zip(full_batches, left, right):
+        for k in ("data", "im_info", "gt_boxes", "num_boxes"):
+            np.testing.assert_array_equal(fb[k][:2], lb[k], err_msg=k)
+            np.testing.assert_array_equal(fb[k][2:], rb[k], err_msg=k)

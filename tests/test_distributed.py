@@ -65,3 +65,6 @@ def test_two_process_matches_single_process(tmp_path):
     assert abs(two["loss"] - one["loss"]) < 1e-4, (two["loss"], one["loss"])
     s2, s1 = np.array(two["sums"]), np.array(one["sums"])
     np.testing.assert_allclose(s2, s1, rtol=1e-4)
+    # checkpoint save/restore must work under BOTH topologies (all processes
+    # participate in the orbax barriers; rank-0-only saving deadlocks)
+    assert two["ckpt_roundtrip"] and one["ckpt_roundtrip"]

@@ -45,16 +45,17 @@ def main():
             g = jax.grad(lambda pp: base.apply(pp, x).astype(jnp.float32).sum())(p)
             return sum(l.astype(jnp.float32).ravel()[0] for l in jax.tree_util.tree_leaves(g))
 
-        from bench import _xla_flops
+        from bench import _xla_flops_and_exec
 
-        flops = _xla_flops(fwdbwd, params, img) or 0.0
+        flops, fwdbwd_c = _xla_flops_and_exec(fwdbwd, params, img)
+        flops = flops or 0.0
         for _ in range(3):
-            out = fwdbwd(params, img)
+            out = fwdbwd_c(params, img)
         float(out)
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fwdbwd(params, img)
+            out = fwdbwd_c(params, img)
         float(out)
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({

@@ -87,12 +87,14 @@ def main():
     )
     from rlobjectdetection_tpu.data import RoiBatchLoader, combined_roidb
     from rlobjectdetection_tpu.engine import (
-        build_optimizer, create_train_state, make_lr_schedule, make_train_step,
+        build_optimizer, make_lr_schedule, make_train_step,
     )
     from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
     from rlobjectdetection_tpu.models import FasterRCNN
     from rlobjectdetection_tpu.parallel import make_mesh, replicate
-    from rlobjectdetection_tpu.parallel.distributed import fetch_scalar, shard_global_batch
+    from rlobjectdetection_tpu.parallel.distributed import (
+        fetch_scalar, host_local_batch_slice, shard_local_batch,
+    )
     from rlobjectdetection_tpu.utils import AveMeter, MetricsWriter, init_log
 
     log = init_log("train")
@@ -229,12 +231,22 @@ def main():
         from rlobjectdetection_tpu.data.prefetch import AsyncLoader, device_prefetch
 
         def put(b):
-            return shard_global_batch(mesh, {k: np.asarray(v) for k, v in b.items()})
+            return shard_local_batch(mesh, {k: np.asarray(v) for k, v in b.items()})
+
+        # multi-host: each host decodes only its own rows of every batch
+        # (HostShardLoader predicts the shared global canvas from roidb dims)
+        if jax.process_count() > 1:
+            from rlobjectdetection_tpu.data.loader import HostShardLoader
+
+            h_start, h_size = host_local_batch_slice(args.batch_size)
+            train_loader = HostShardLoader(loader, h_start, h_size)
+        else:
+            train_loader = loader
 
         for epoch in range(args.start_epoch, args.epochs + 1):
             start = time.time()
-            epoch_loader = (AsyncLoader(loader, args.num_workers)
-                            if args.num_workers > 0 else loader)
+            epoch_loader = (AsyncLoader(train_loader, args.num_workers)
+                            if args.num_workers > 0 else train_loader)
             for it, sharded in enumerate(device_prefetch(epoch_loader, put)):
                 state, metrics = step_fn(
                     state, sharded, jax.random.fold_in(step_key, global_step)
@@ -262,11 +274,13 @@ def main():
                         for k, v in m.items():
                             writer.scalar_summary(k, v, global_step)
             ckpt = os.path.join(ckpt_dir, f"faster_rcnn_{args.session}_{epoch}")
+            # every process participates (orbax save synchronizes all hosts);
+            # the checkpoint itself is written once from the primary replicas
+            save_checkpoint(
+                ckpt, state, session=args.session, epoch=epoch,
+                pooling_mode=cfg.POOLING_MODE, class_agnostic=args.class_agnostic,
+            )
             if jax.process_index() == 0:
-                save_checkpoint(
-                    ckpt, state, session=args.session, epoch=epoch,
-                    pooling_mode=cfg.POOLING_MODE, class_agnostic=args.class_agnostic,
-                )
                 log.info(f"save model: {ckpt} (epoch time {time.time() - start:.1f}s)")
 
 
