@@ -176,6 +176,14 @@ class FasterRCNN(nn.Module):
         rois_label = None
 
         if train:
+            # TRAIN.RPN_POSITIVE_WEIGHT: only the uniform branch (< 0) exists
+            # — the reference's non-uniform branch is dead/broken code
+            # (anchor_target_layer.py:154-163 uses undefined variables,
+            # SURVEY §2.7), so a >= 0 setting is rejected loudly rather than
+            # silently ignored
+            assert self.cfg.TRAIN.RPN_POSITIVE_WEIGHT < 0, (
+                "RPN_POSITIVE_WEIGHT >= 0 (non-uniform anchor weighting) is "
+                "not implemented — the reference branch is broken upstream")
             at_key = self.make_rng("sampling")
             pt_key = self.make_rng("sampling")
             feat_hw = (base_feat.shape[1], base_feat.shape[2])

@@ -26,15 +26,14 @@ class Action:
         self.alpha = alpha
         self.iou_thres = iou_thres
         self.num_acts = 4 * len(delta) * 2
-        self.actDeltas = np.zeros((self.num_acts, 4), dtype=np.float32)
         self.wtrans = identify if wtrans is None else wtrans
-        idx = 0
-        for i in range(4):              # bbox dimension
-            for j in range(len(delta)):
-                self.actDeltas[idx, i] = delta[j] * alpha
-                idx += 1
-                self.actDeltas[idx, i] = -delta[j] * alpha
-                idx += 1
+        # action table built in one shot: per coord, magnitudes interleaved
+        # +δ0, -δ0, +δ1, -δ1, ... (the reference's enumeration order) on that
+        # coord's column, zeros elsewhere
+        mags = np.asarray(self.delta, np.float32) * alpha
+        signed = (mags[:, None] * np.array([1.0, -1.0], np.float32)).ravel()
+        per_coord = signed[:, None, None] * np.eye(4, dtype=np.float32)[None, :, :]
+        self.actDeltas = per_coord.transpose(2, 0, 1).reshape(self.num_acts, 4)
 
     def move_from_act(self, bboxes: np.ndarray, preds: np.ndarray,
                       targets: np.ndarray, maxk: int):

@@ -64,7 +64,11 @@ class RLPolicyNet(nn.Module):
         """
         rois = bboxes.reshape(-1, bboxes.shape[-1])[:, :5].astype(jnp.float32)
         x = self.base(img.astype(self.dtype))
-        roi_feat = roi_align_avg(x.astype(jnp.float32), rois, 7, 1.0 / 16.0)
+        # keep the trunk dtype through the gather: bf16 halves the bandwidth
+        # of the hot roi_align corner reads; interpolation ratios are f32 and
+        # promote inside roi_align_impl (same measured choice as
+        # faster_rcnn.extract_roi_features)
+        roi_feat = roi_align_avg(x, rois, 7, 1.0 / 16.0)
         pooled = self.head(roi_feat.astype(self.dtype))            # [B·N, 2048]
         h = nn.relu(self.fc8(pooled))
         pred = self.fc(h).astype(jnp.float32)                      # [B·N, A]

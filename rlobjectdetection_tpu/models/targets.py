@@ -249,9 +249,16 @@ def proposal_target(
         u = jax.random.uniform(k3, (rois_per_image,))
         fg_wo = jnp.take(fg_rand, jnp.minimum(slot, jnp.maximum(
             jnp.minimum(fg_num, k_rand) - 1, 0)))
-        fg_wr = jnp.take(fg_all, (u * jnp.maximum(fg_num, 1)).astype(jnp.int32))
+        # clamp: u*N can round UP to N in f32 when N is a power of two and u
+        # is the maximal draw (1 - 2^-24) — jnp.take would then read past the
+        # pool (the reference's f64 rand + np.floor cannot overflow)
+        def wr_idx(u_, n_):
+            return jnp.minimum((u_ * jnp.maximum(n_, 1)).astype(jnp.int32),
+                               jnp.maximum(n_ - 1, 0))
+
+        fg_wr = jnp.take(fg_all, wr_idx(u, fg_num))
         fg_pick = jnp.where(both, fg_wo, fg_wr)
-        bg_pick = jnp.take(bg_all, (u * jnp.maximum(bg_num, 1)).astype(jnp.int32))
+        bg_pick = jnp.take(bg_all, wr_idx(u, bg_num))
         keep = jnp.where(is_fg_slot, fg_pick, bg_pick)
         keep = jnp.where((fg_num == 0) & (bg_num == 0), 0, keep)
         lab = jnp.take(labels_i, keep)

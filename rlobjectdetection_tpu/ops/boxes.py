@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-EPS = 1e-14
-
 
 def box_wh_ctr(boxes: jnp.ndarray):
     """widths, heights, center x, center y with the +1 convention.
@@ -135,43 +133,3 @@ def bbox_overlaps_masked(anchors: jnp.ndarray, gt_boxes: jnp.ndarray) -> jnp.nda
     ov = jnp.where(gt_zero[..., None, :], 0.0, ov)
     ov = jnp.where(an_zero[..., :, None], -1.0, ov)
     return ov
-
-
-def xywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
-    """COCO (x, y, w, h) → (x1, y1, x2, y2) via x2 = x + w - 1 (RL convention,
-    RL_coco_dataset.py:144)."""
-    x, y, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
-    return jnp.stack([x, y, x + w - 1.0, y + h - 1.0], axis=-1)
-
-
-def xyxy_to_xywh(boxes: jnp.ndarray) -> jnp.ndarray:
-    x1, y1, x2, y2 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
-    return jnp.stack([x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0], axis=-1)
-
-
-def bbox_iou_xywh(dt: jnp.ndarray, gt: jnp.ndarray, iscrowd: jnp.ndarray | None = None) -> jnp.ndarray:
-    """COCO-style bbox IoU on (x, y, w, h) boxes — the jnp equivalent of the
-    vendored pycocotools `bbIou` (/root/reference/lib/pycocotools/maskApi.c) used by
-    the RL ΔIoU labeler (RL_coco_dataset.py:119) and COCO eval.
-
-    dt: [..., N, 4]; gt: [..., K, 4]; iscrowd: optional [..., K] bool — for crowd
-    gt the denominator is the dt area alone (IoF).
-    Returns [..., N, K].
-    """
-    dx1, dy1 = dt[..., 0], dt[..., 1]
-    dx2, dy2 = dt[..., 0] + dt[..., 2], dt[..., 1] + dt[..., 3]
-    gx1, gy1 = gt[..., 0], gt[..., 1]
-    gx2, gy2 = gt[..., 0] + gt[..., 2], gt[..., 1] + gt[..., 3]
-    iw = jnp.minimum(dx2[..., :, None], gx2[..., None, :]) - jnp.maximum(
-        dx1[..., :, None], gx1[..., None, :]
-    )
-    ih = jnp.minimum(dy2[..., :, None], gy2[..., None, :]) - jnp.maximum(
-        dy1[..., :, None], gy1[..., None, :]
-    )
-    inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
-    area_d = dt[..., 2] * dt[..., 3]
-    area_g = gt[..., 2] * gt[..., 3]
-    union = area_d[..., :, None] + area_g[..., None, :] - inter
-    if iscrowd is not None:
-        union = jnp.where(iscrowd[..., None, :], area_d[..., :, None], union)
-    return jnp.where(union > 0, inter / jnp.maximum(union, EPS), 0.0)
