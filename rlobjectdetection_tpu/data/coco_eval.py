@@ -84,12 +84,15 @@ class COCOeval:
             for imgId in p.imgIds for catId in catIds
         }
         maxDet = p.maxDets[-1]
-        self.evalImgs = [
-            self.evaluateImg(imgId, catId, areaRng, maxDet)
+        # keyed by (catId, areaRng, imgId) — accumulate() looks entries up
+        # directly instead of recovering them from flat-list index arithmetic
+        self.evalImgs = {
+            (catId, tuple(areaRng), imgId):
+                self.evaluateImg(imgId, catId, areaRng, maxDet)
             for catId in catIds
             for areaRng in p.areaRng
             for imgId in p.imgIds
-        ]
+        }
         self._paramsEval = copy.deepcopy(self.params)
         print(f"DONE (t={time.time() - tic:0.2f}s).")
 
@@ -118,6 +121,52 @@ class COCOeval:
         d = np.array([dd["bbox"] for dd in dt]).reshape(-1, 4)
         return iou_xywh(d, g, iscrowd)
 
+    @staticmethod
+    def _greedy_match(ious, crowd, ignored, thr):
+        """One IoU threshold's greedy assignment over score-ordered dets.
+
+        gts arrive sorted real-first/ignored-last. Each det takes the
+        highest-IoU eligible gt at or above `thr`, where eligible means
+        unmatched or crowd (crowd gts absorb any number of dets); a real gt
+        is ALWAYS preferred over an ignored one, and exact IoU ties resolve
+        to the highest gt index — both properties of the canonical COCO
+        matcher, which the oracle tests pin bit-for-bit.
+
+        Returns (det_to_gt, gt_to_det): matched counterpart index + 1 per
+        slot, 0 = unmatched. For a re-matched crowd gt the LAST det wins.
+        """
+        n_det, n_gt = ious.shape
+        n_real = int(np.count_nonzero(~ignored))
+        floor = min(thr, 1 - 1e-10)
+        det_to_gt = np.zeros(n_det, dtype=np.int64)
+        gt_to_det = np.zeros(n_gt, dtype=np.int64)
+        open_slot = ~np.zeros(n_gt, dtype=bool)
+
+        def best(values, ok):
+            """Index of the max eligible value, ties to the LAST index;
+            -1 when nothing is eligible."""
+            if not ok.any():
+                return -1
+            v = np.where(ok, values, -np.inf)
+            top = v.max()
+            if top < floor:
+                return -1
+            return int(np.nonzero(v == top)[0][-1])
+
+        for d in range(n_det):
+            row = ious[d]
+            eligible = open_slot | crowd
+            g = best(row[:n_real], eligible[:n_real])
+            if g < 0:
+                rel = best(row[n_real:], eligible[n_real:])
+                g = -1 if rel < 0 else n_real + rel
+            if g < 0:
+                continue
+            det_to_gt[d] = g + 1
+            gt_to_det[g] = d + 1
+            open_slot[g] = False
+        return det_to_gt, gt_to_det
+
     def evaluateImg(self, imgId, catId, aRng, maxDet):
         p = self.params
         if p.useCats:
@@ -129,53 +178,39 @@ class COCOeval:
         if len(gt) == 0 and len(dt) == 0:
             return None
 
-        for g in gt:
-            if g["ignore"] or (g["area"] < aRng[0] or g["area"] > aRng[1]):
-                g["_ignore"] = 1
-            else:
-                g["_ignore"] = 0
-
-        gtind = np.argsort([g["_ignore"] for g in gt], kind="mergesort")
-        gt = [gt[i] for i in gtind]
-        dtind = np.argsort([-d["score"] for d in dt], kind="mergesort")
-        dt = [dt[i] for i in dtind[0:maxDet]]
-        iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
-        ious = (
-            self.ious[imgId, catId][:, gtind]
-            if len(self.ious[imgId, catId]) > 0
-            else self.ious[imgId, catId]
-        )
+        # a gt is ignored for this area range if flagged or outside the range;
+        # sort real-first (stable) and reorder the cached IoU columns to match
+        ig = np.array(
+            [1 if (g["ignore"] or g["area"] < aRng[0] or g["area"] > aRng[1])
+             else 0 for g in gt], dtype=np.int64)
+        order = np.argsort(ig, kind="mergesort")
+        gt = [gt[i] for i in order]
+        ig = ig[order]
+        dt = sorted(dt, key=lambda d: -d["score"])[:maxDet]
+        # python sorted() is stable like the reference's mergesort argsort
+        crowd = np.array([bool(g.get("iscrowd", 0)) for g in gt], dtype=bool)
+        ious = self.ious[imgId, catId]
+        ious = ious[:, order] if len(ious) > 0 else ious
 
         T = len(p.iouThrs)
-        G = len(gt)
-        D = len(dt)
-        gtm = np.zeros((T, G))
-        dtm = np.zeros((T, D))
-        gtIg = np.array([g["_ignore"] for g in gt])
-        dtIg = np.zeros((T, D))
+        n_gt, n_dt = len(gt), len(dt)
+        gt_ids = np.array([g["id"] for g in gt], dtype=np.float64)
+        dt_ids = np.array([d["id"] for d in dt], dtype=np.float64)
+        gtm = np.zeros((T, n_gt))
+        dtm = np.zeros((T, n_dt))
+        dtIg = np.zeros((T, n_dt))
         if len(ious) != 0:
-            for tind, t in enumerate(p.iouThrs):
-                for dind, d in enumerate(dt):
-                    iou = min([t, 1 - 1e-10])
-                    m = -1
-                    for gind, g in enumerate(gt):
-                        if gtm[tind, gind] > 0 and not iscrowd[gind]:
-                            continue
-                        if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
-                            break
-                        if ious[dind, gind] < iou:
-                            continue
-                        iou = ious[dind, gind]
-                        m = gind
-                    if m == -1:
-                        continue
-                    dtIg[tind, dind] = gtIg[m]
-                    dtm[tind, dind] = gt[m]["id"]
-                    gtm[tind, m] = d["id"]
-        a = np.array(
-            [d["area"] < aRng[0] or d["area"] > aRng[1] for d in dt]
-        ).reshape((1, len(dt)))
-        dtIg = np.logical_or(dtIg, np.logical_and(dtm == 0, np.repeat(a, T, 0)))
+            for ti, thr in enumerate(p.iouThrs):
+                d2g, g2d = self._greedy_match(ious, crowd, ig.astype(bool), thr)
+                hit = d2g > 0
+                dtm[ti, hit] = gt_ids[d2g[hit] - 1]
+                dtIg[ti, hit] = ig[d2g[hit] - 1]
+                taken = g2d > 0
+                gtm[ti, taken] = dt_ids[g2d[taken] - 1]
+        # unmatched dets outside the area range are ignored, not FPs
+        d_out = np.array([d["area"] < aRng[0] or d["area"] > aRng[1]
+                          for d in dt], dtype=bool).reshape(1, n_dt)
+        dtIg = np.logical_or(dtIg, (dtm == 0) & d_out)
         return {
             "image_id": imgId,
             "category_id": catId,
@@ -186,9 +221,31 @@ class COCOeval:
             "dtMatches": dtm,
             "gtMatches": gtm,
             "dtScores": [d["score"] for d in dt],
-            "gtIgnore": gtIg,
+            "gtIgnore": ig,
             "dtIgnore": dtIg,
         }
+
+    def _pr_curve(self, scores, matched, det_ignored, n_real_gt, rec_thrs):
+        """Precision at the sampled recall points + final recall, for ONE IoU
+        threshold's pooled detections (already score-sorted).
+
+        The precision envelope is made monotonically non-increasing from the
+        right (the canonical interpolated-AP rule), then sampled at rec_thrs
+        with left-searchsorted indices; recall points past the curve's end
+        keep precision 0."""
+        counted = ~det_ignored
+        tp = np.cumsum(matched & counted).astype(np.float64)
+        fp = np.cumsum(~matched & counted).astype(np.float64)
+        rc = tp / n_real_gt
+        pr = tp / (tp + fp + np.spacing(1))
+        final_recall = rc[-1] if rc.size else 0.0
+        q = np.zeros(len(rec_thrs))
+        if pr.size:
+            envelope = np.maximum.accumulate(pr[::-1])[::-1]
+            at = np.searchsorted(rc, rec_thrs, side="left")
+            ok = at < envelope.size
+            q[ok] = envelope[at[ok]]
+        return q, final_recall
 
     def accumulate(self, p=None):
         print("Accumulating evaluation results...")
@@ -197,70 +254,55 @@ class COCOeval:
         if p is None:
             p = self.params
         p.catIds = p.catIds if p.useCats == 1 else [-1]
-        T = len(p.iouThrs)
-        R = len(p.recThrs)
-        K = len(p.catIds)
-        A = len(p.areaRng)
-        M = len(p.maxDets)
+        T, R = len(p.iouThrs), len(p.recThrs)
+        K, A, M = len(p.catIds), len(p.areaRng), len(p.maxDets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
+        # restrict to what evaluate() actually computed (p may be narrower
+        # or reordered relative to _paramsEval)
         _pe = self._paramsEval
-        catIds = _pe.catIds if _pe.useCats else [-1]
-        setK = set(catIds)
-        setA = set(map(tuple, _pe.areaRng))
-        setM = set(_pe.maxDets)
-        setI = set(_pe.imgIds)
-        k_list = [n for n, k in enumerate(p.catIds) if k in setK]
-        m_list = [m for n, m in enumerate(p.maxDets) if m in setM]
-        a_list = [n for n, a in enumerate(map(lambda x: tuple(x), p.areaRng)) if a in setA]
-        i_list = [n for n, i in enumerate(p.imgIds) if i in setI]
-        I0 = len(_pe.imgIds)
-        A0 = len(_pe.areaRng)
-        for k, k0 in enumerate(k_list):
-            Nk = k0 * A0 * I0
-            for a, a0 in enumerate(a_list):
-                Na = a0 * I0
-                for m, maxDet in enumerate(m_list):
-                    E = [self.evalImgs[Nk + Na + i] for i in i_list]
-                    E = [e for e in E if e is not None]
-                    if len(E) == 0:
+        done_cats = set(_pe.catIds if _pe.useCats else [-1])
+        done_areas = set(map(tuple, _pe.areaRng))
+        done_imgs = [i for i in p.imgIds if i in set(_pe.imgIds)]
+        done_dets = set(_pe.maxDets)
+
+        for k, catId in enumerate(p.catIds):
+            if catId not in done_cats:
+                continue
+            for a, areaRng in enumerate(map(tuple, p.areaRng)):
+                if areaRng not in done_areas:
+                    continue
+                cell = [self.evalImgs.get((catId, areaRng, i))
+                        for i in done_imgs]
+                cell = [e for e in cell if e is not None]
+                if not cell:
+                    continue
+                n_real_gt = int(sum(
+                    np.count_nonzero(np.asarray(e["gtIgnore"]) == 0)
+                    for e in cell))
+                if n_real_gt == 0:
+                    continue
+                for m, maxDet in enumerate(p.maxDets):
+                    if maxDet not in done_dets:
                         continue
-                    dtScores = np.concatenate([e["dtScores"][0:maxDet] for e in E])
-                    inds = np.argsort(-dtScores, kind="mergesort")
-                    dtm = np.concatenate([e["dtMatches"][:, 0:maxDet] for e in E], axis=1)[:, inds]
-                    dtIg = np.concatenate([e["dtIgnore"][:, 0:maxDet] for e in E], axis=1)[:, inds]
-                    gtIg = np.concatenate([e["gtIgnore"] for e in E])
-                    npig = np.count_nonzero(gtIg == 0)
-                    if npig == 0:
-                        continue
-                    tps = np.logical_and(dtm, np.logical_not(dtIg))
-                    fps = np.logical_and(np.logical_not(dtm), np.logical_not(dtIg))
-                    tp_sum = np.cumsum(tps, axis=1).astype(dtype=np.float64)
-                    fp_sum = np.cumsum(fps, axis=1).astype(dtype=np.float64)
-                    for t, (tp, fp) in enumerate(zip(tp_sum, fp_sum)):
-                        tp = np.array(tp)
-                        fp = np.array(fp)
-                        nd = len(tp)
-                        rc = tp / npig
-                        pr = tp / (fp + tp + np.spacing(1))
-                        q = np.zeros((R,))
-                        if nd:
-                            recall[t, k, a, m] = rc[-1]
-                        else:
-                            recall[t, k, a, m] = 0
-                        pr = pr.tolist()
-                        q = q.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds2 = np.searchsorted(rc, p.recThrs, side="left")
-                        try:
-                            for ri, pi in enumerate(inds2):
-                                q[ri] = pr[pi]
-                        except IndexError:
-                            pass
-                        precision[t, :, k, a, m] = np.array(q)
+                    # pool every image's top-maxDet dets, then order the pool
+                    # by score (stable, like the per-image sort)
+                    scores = np.concatenate(
+                        [np.asarray(e["dtScores"][:maxDet]) for e in cell])
+                    order = np.argsort(-scores, kind="mergesort")
+                    dtm = np.concatenate(
+                        [e["dtMatches"][:, :maxDet] for e in cell],
+                        axis=1)[:, order]
+                    dtIg = np.concatenate(
+                        [e["dtIgnore"][:, :maxDet] for e in cell],
+                        axis=1)[:, order]
+                    for t in range(T):
+                        q, rc_last = self._pr_curve(
+                            scores[order], dtm[t] > 0, dtIg[t] > 0,
+                            n_real_gt, p.recThrs)
+                        precision[t, :, k, a, m] = q
+                        recall[t, k, a, m] = rc_last
         self.eval = {
             "params": p,
             "counts": [T, R, K, A, M],

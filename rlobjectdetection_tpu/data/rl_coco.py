@@ -29,20 +29,29 @@ from PIL import Image
 from .coco_api import COCO, iou_xywh
 
 
+def action_dious(bbox_action, bbox, gts):
+    """Per-action ΔIoU of one detection against its (image, category) gt
+    list — the single shared core of the online labeler, the weight
+    statistics, and the offline label generator (reference
+    RL_coco_dataset.py:119-126, generate_labels.py:99-134). Empty gt lists
+    fall back to one degenerate zero box (IoU 0 everywhere, the reference's
+    behavior). Returns (origin_iou, dious[num_acts])."""
+    gtb = [g["bbox"] for g in gts] or [[0, 0, 0, 0]]
+    iscrowd = [int(g.get("iscrowd", 0)) for g in gts] or [0]
+    bbox = np.asarray(bbox, dtype=np.float64)
+    w, h = bbox[2], bbox[3]
+    origin = iou_xywh([bbox], gtb, iscrowd).max()
+    moved = bbox[None, :] + bbox_action.actDeltas * np.array([w, h, w, h])
+    dious = iou_xywh(moved, gtb, iscrowd).max(axis=1) - origin
+    return float(origin), dious
+
+
 def _stat_chunk(chunk, gt_boxes, bbox_action):
     """Partial (pos_tot, neg_tot, pos_w, neg_w) over a chunk of detections."""
     pos_tot = neg_tot = 0
     pos_weights = neg_weights = 0.0
     for (img_id, cat_id), dt in chunk:
-        gts = gt_boxes[img_id, cat_id]
-        gtb = [g["bbox"] for g in gts] or [[0, 0, 0, 0]]
-        iscrowd = [int(g.get("iscrowd", 0)) for g in gts] or [0]
-        bbox = np.asarray(dt["bbox"], dtype=np.float64)
-        w, h = bbox[2], bbox[3]
-        origin = iou_xywh([bbox], gtb, iscrowd).max()
-        moved = bbox[None, :] + bbox_action.actDeltas * np.array([w, h, w, h])
-        new_ious = iou_xywh(moved, gtb, iscrowd).max(axis=1)
-        dious = new_ious - origin
+        _, dious = action_dious(bbox_action, dt["bbox"], gt_boxes[img_id, cat_id])
         pos = dious > bbox_action.iou_thres
         wts = np.array([bbox_action.wtrans(d) for d in dious])
         pos_tot += int(pos.sum())
@@ -188,14 +197,9 @@ class COCODataset:
             # over a train2014 epoch
             for dt_box in self.dt_boxes.get((img_id, cat_id), ()):
                 bbox = np.asarray(dt_box["bbox"], dtype=np.float64)
-                w, h = bbox[2], bbox[3]
-                gts = self.gt_boxes.get((img_id, cat_id), [])
-                gtb = [g["bbox"] for g in gts] or [[0, 0, 0, 0]]
-                iscrowd = [int(g.get("iscrowd", 0)) for g in gts] or [0]
-                origin = iou_xywh([bbox], gtb, iscrowd).max()
-                moved = bbox[None, :] + self.bbox_action.actDeltas * np.array([w, h, w, h])
-                new_ious = iou_xywh(moved, gtb, iscrowd).max(axis=1)
-                dious = new_ious - origin
+                _, dious = action_dious(
+                    self.bbox_action, bbox,
+                    self.gt_boxes.get((img_id, cat_id), []))
                 pos = dious > self.bbox_action.iou_thres
                 wts = np.array([self.bbox_action.wtrans(d) for d in dious])
                 wts = np.where(pos, wts * self.pos_wratio, wts * self.neg_wratio)

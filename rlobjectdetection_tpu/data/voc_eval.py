@@ -95,8 +95,11 @@ def voc_eval(detpath, annopath, imagesetfile, classname, cachedir,
         os.makedirs(cachedir)
     with open(imagesetfile) as f:
         imagenames = [x.strip() for x in f.readlines()]
+    # cache keyed by image set (reference voc_eval.py:104) — a shared
+    # 'annots.pkl' would serve one split's annotations to another
+    setname = os.path.splitext(os.path.basename(imagesetfile))[0]
     recs = _load_annotations(annopath, imagenames,
-                             os.path.join(cachedir, "annots.pkl"))
+                             os.path.join(cachedir, f"{setname}_annots.pkl"))
 
     # Per-image gt for this class.
     gt_boxes = {}

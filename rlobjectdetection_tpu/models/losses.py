@@ -46,9 +46,20 @@ def softmax_cross_entropy(logits, labels, valid_mask=None):
     return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
-def weighted_mse_loss(pred, targets, weights):
+def weighted_mse_loss(pred, targets, weights, denom=None):
     """RL action-value loss (Reinforcement/resnet.py:195-199):
-    mean((pred-t)²·w), plus the unweighted mean for logging."""
+    mean((pred-t)²·w), plus the unweighted mean for logging.
+
+    denom overrides the element count of the mean: the reference pads the
+    detection axis to the EXACT batch max, so its mean divides by
+    B·max_n·A. The TPU collate quantizes the axis to multiples of 16 for a
+    bounded jit cache; dividing by the padded count would shrink the loss
+    (and effective lr) by a per-batch factor, so callers pass the
+    reference's denominator (padding carries zero weight/targets either
+    way, leaving the numerator exact)."""
     noweight = (pred - targets) ** 2
-    loss = (noweight * weights).mean()
-    return loss, noweight.mean()
+    weighted = noweight * weights
+    if denom is None:
+        return weighted.mean(), noweight.mean()
+    denom = jnp.maximum(denom.astype(jnp.float32), 1.0)
+    return weighted.sum() / denom, noweight.sum() / denom

@@ -55,9 +55,13 @@ class RLPolicyNet(nn.Module):
         self.fc8 = nn.Dense(4096, dtype=self.dtype, name="fc8")
         self.fc = nn.Dense(self.num_acts, dtype=self.dtype, name="fc")
 
-    def __call__(self, img, bboxes, targets=None, weights=None):
+    def __call__(self, img, bboxes, targets=None, weights=None, num_dts=None):
         """img: [B, H, W, 3] RGB normalized; bboxes: [B, N, 5+]
-        (batch_id, x1, y1, x2, y2, ...); targets/weights: [B, N, num_acts].
+        (batch_id, x1, y1, x2, y2, ...); targets/weights: [B, N, num_acts];
+        num_dts: optional [B] true detection counts — when given, the loss
+        mean divides by B·max(num_dts)·A, the reference's exact-batch-max
+        padding denominator (the collate's 16-quantized N would otherwise
+        shrink the loss by a varying per-batch factor).
 
         Returns (pred [B·N, num_acts], loss, noweight_loss) — loss terms 0 when
         targets is None.
@@ -77,7 +81,11 @@ class RLPolicyNet(nn.Module):
             return pred, jnp.float32(0.0), jnp.float32(0.0)
         t = targets.reshape(-1, self.num_acts)
         w = weights.reshape(-1, self.num_acts)
-        loss, noweight = weighted_mse_loss(pred, t, w)
+        denom = None
+        if num_dts is not None:
+            denom = (img.shape[0] * self.num_acts
+                     * jnp.maximum(jnp.max(num_dts), 1))
+        loss, noweight = weighted_mse_loss(pred, t, w, denom=denom)
         return pred, loss, noweight
 
 

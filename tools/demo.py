@@ -4,7 +4,8 @@
 Rebuild of /root/reference/RCNN_bases/demo.py: loads a checkpoint (20-class
 VOC by default), runs single-scale (600) detection over images in --image_dir,
 applies per-class NMS at 0.3 with vis threshold 0.5, draws rectangles
-(net_utils.vis_detections equivalent) and writes <name>_det.jpg.
+(net_utils.vis_detections equivalent) and writes <name>_det.jpg. With
+--webcam_num >= 0 it detects on live frames until 'q' (demo.py:246-258).
 """
 
 import argparse
@@ -52,6 +53,53 @@ def vis_detections(im, class_name, dets, thresh=0.8):
     return im
 
 
+def _make_detector(args, cfg, params, forward):
+    """One shared prep→forward→postprocess→overlay pipeline for both the
+    image-folder and webcam modes (divergence between two copies is how the
+    webcam path once lost the class_agnostic arg)."""
+    import cv2  # noqa: F401  (callers feed cv2 BGR frames)
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.data.minibatch import (
+        PIXEL_MEANS_BGR, pad_shape, prep_im_for_blob,
+    )
+    from rlobjectdetection_tpu.engine import postprocess_detections
+
+    def detect_frame(im_bgr, im2show):
+        """im_bgr: float32 BGR frame; im2show: uint8 canvas drawn in place."""
+        im, im_scale = prep_im_for_blob(im_bgr, PIXEL_MEANS_BGR,
+                                        cfg.TEST.SCALES[0])
+        ph, pw = pad_shape(im.shape[0], im.shape[1])
+        blob = np.zeros((1, ph, pw, 3), dtype=np.float32)
+        blob[0, : im.shape[0], : im.shape[1]] = im
+        im_info = np.array([[im.shape[0], im.shape[1], im_scale]],
+                           dtype=np.float32)
+        out = forward({"params": params}, jnp.asarray(blob),
+                      jnp.asarray(im_info), train=False)
+        boxes, scores, classes, valid = postprocess_detections(
+            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
+            jnp.asarray(im_info[0]), out["roi_valid"][0],
+            num_classes=len(VOC_CLASSES),
+            class_agnostic=args.class_agnostic,
+            max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
+            nms_thresh=cfg.TEST.NMS,
+        )
+        jax.block_until_ready(boxes)
+        boxes_np, scores_np = np.asarray(boxes), np.asarray(scores)
+        classes_np, valid_np = np.asarray(classes), np.asarray(valid)
+        for j in range(1, len(VOC_CLASSES)):
+            sel = valid_np & (classes_np == j)
+            if sel.any():
+                dets = np.concatenate(
+                    [boxes_np[sel], scores_np[sel, None]], axis=1)
+                im2show = vis_detections(im2show, VOC_CLASSES[j], dets,
+                                         args.vis_thresh)
+        return im2show
+
+    return detect_frame
+
+
 def main():
     from tools._env import setup_platform
 
@@ -60,9 +108,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rlobjectdetection_tpu.config import Config, cfg_from_list
-    from rlobjectdetection_tpu.data.minibatch import PIXEL_MEANS_BGR, pad_shape, prep_im_for_blob
-    from rlobjectdetection_tpu.engine import postprocess_detections
+    from rlobjectdetection_tpu.config import Config, cfg_from_list, cfg_update
     from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint
     from rlobjectdetection_tpu.models import FasterRCNN
 
@@ -70,16 +116,24 @@ def main():
     cfg = Config()
     if args.set_cfgs:
         cfg = cfg_from_list(cfg, args.set_cfgs)
+
+    params, meta = None, {}
+    if args.load_name:
+        tree, meta = load_checkpoint(args.load_name)
+        params = tree["params"]
+        if meta.get("pooling_mode"):
+            # the reference demo restores cfg.POOLING_MODE from the
+            # checkpoint (RCNN_bases/demo.py:190-191), like test_net
+            cfg = cfg_update(cfg, {"POOLING_MODE": meta["pooling_mode"]})
+    if meta.get("class_agnostic"):
+        args.class_agnostic = True
+
     backbone = {"vgg16": "vgg16", "res101": "resnet101"}.get(args.net, args.net)
     model = FasterRCNN(
         num_classes=len(VOC_CLASSES), backbone=backbone,
         class_agnostic=args.class_agnostic, cfg=cfg,
     )
-
-    if args.load_name:
-        tree, meta = load_checkpoint(args.load_name)
-        params = tree["params"]
-    else:
+    if params is None:
         print("WARNING: no --load_name; using random weights (smoke mode)")
         key = jax.random.PRNGKey(3)
         d = ((cfg.TEST.SCALES[0] + 31) // 32) * 32
@@ -90,9 +144,10 @@ def main():
         )["params"]
 
     forward = jax.jit(model.apply, static_argnames="train")
+    detect_frame = _make_detector(args, cfg, params, forward)
 
     if args.webcam_num >= 0:
-        _webcam_loop(args, cfg, model, params, forward)
+        _webcam_loop(args, detect_frame)
         return
 
     imglist = [
@@ -102,40 +157,13 @@ def main():
     print(f"Loaded Photo: {len(imglist)} images.")
     for name in imglist:
         path = os.path.join(args.image_dir, name)
-        im_bgr = cv2.imread(path).astype(np.float32)
-        im, im_scale = prep_im_for_blob(im_bgr, PIXEL_MEANS_BGR, cfg.TEST.SCALES[0])
-        ph, pw = pad_shape(im.shape[0], im.shape[1])
-        blob = np.zeros((1, ph, pw, 3), dtype=np.float32)
-        blob[0, : im.shape[0], : im.shape[1]] = im
-        im_info = np.array([[im.shape[0], im.shape[1], im_scale]], dtype=np.float32)
-
+        im_bgr = cv2.imread(path)
+        if im_bgr is None:
+            print(f"{name}: unreadable image, skipped")
+            continue
         t0 = time.time()
-        out = forward({"params": params}, jnp.asarray(blob), jnp.asarray(im_info),
-                      train=False)
-        boxes, scores, classes, valid = postprocess_detections(
-            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
-            jnp.asarray(im_info[0]), out["roi_valid"][0],
-            num_classes=len(VOC_CLASSES),
-            class_agnostic=args.class_agnostic,
-            max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
-            nms_thresh=cfg.TEST.NMS,
-        )
-        jax.block_until_ready(boxes)
+        im2show = detect_frame(im_bgr.astype(np.float32), im_bgr.copy())
         print(f"{name}: detect {time.time() - t0:.3f}s")
-
-        im2show = cv2.imread(path)
-        boxes_np = np.asarray(boxes)
-        scores_np = np.asarray(scores)
-        classes_np = np.asarray(classes)
-        valid_np = np.asarray(valid)
-        for j in range(1, len(VOC_CLASSES)):
-            sel = valid_np & (classes_np == j)
-            if sel.any():
-                dets = np.concatenate(
-                    [boxes_np[sel], scores_np[sel, None]], axis=1
-                )
-                im2show = vis_detections(im2show, VOC_CLASSES[j], dets,
-                                         args.vis_thresh)
         out_path = os.path.join(
             args.image_dir, os.path.splitext(name)[0] + "_det.jpg"
         )
@@ -143,16 +171,10 @@ def main():
         print(f"wrote {out_path}")
 
 
-def _webcam_loop(args, cfg, model, params, forward):
+def _webcam_loop(args, detect_frame):
     """Webcam mode (RCNN_bases/demo.py:246-258, 352-359): grab frames, detect,
     display until 'q'."""
     import cv2
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from rlobjectdetection_tpu.data.minibatch import PIXEL_MEANS_BGR, pad_shape, prep_im_for_blob
-    from rlobjectdetection_tpu.engine import postprocess_detections
 
     cap = cv2.VideoCapture(args.webcam_num)
     if not cap.isOpened():
@@ -161,28 +183,7 @@ def _webcam_loop(args, cfg, model, params, forward):
         ok, frame = cap.read()
         if not ok:
             break
-        im, im_scale = prep_im_for_blob(frame.astype(np.float32), PIXEL_MEANS_BGR,
-                                        cfg.TEST.SCALES[0])
-        ph, pw = pad_shape(im.shape[0], im.shape[1])
-        blob = np.zeros((1, ph, pw, 3), dtype=np.float32)
-        blob[0, : im.shape[0], : im.shape[1]] = im
-        im_info = np.array([[im.shape[0], im.shape[1], im_scale]], dtype=np.float32)
-        out = forward({"params": params}, jnp.asarray(blob), jnp.asarray(im_info),
-                      train=False)
-        boxes, scores, classes, valid = postprocess_detections(
-            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
-            jnp.asarray(im_info[0]), out["roi_valid"][0],
-            num_classes=len(VOC_CLASSES), max_per_image=cfg.TEST.MAX_DETS_PER_IMAGE,
-            nms_thresh=cfg.TEST.NMS,
-        )
-        im2show = frame.copy()
-        for j in range(1, len(VOC_CLASSES)):
-            sel = np.asarray(valid) & (np.asarray(classes) == j)
-            if sel.any():
-                dets = np.concatenate(
-                    [np.asarray(boxes)[sel], np.asarray(scores)[sel, None]], axis=1
-                )
-                im2show = vis_detections(im2show, VOC_CLASSES[j], dets, args.vis_thresh)
+        im2show = detect_frame(frame.astype(np.float32), frame.copy())
         cv2.imshow("result", im2show)
         if cv2.waitKey(1) & 0xFF == ord("q"):
             break

@@ -33,7 +33,8 @@ def main():
 
     from collections import defaultdict
 
-    from rlobjectdetection_tpu.data.coco_api import COCO, iou_xywh
+    from rlobjectdetection_tpu.data.coco_api import COCO
+    from rlobjectdetection_tpu.data.rl_coco import action_dious
     from rlobjectdetection_tpu.models.rl import Action
 
     action = Action(args.delta, alpha=args.alpha)
@@ -47,15 +48,9 @@ def main():
 
     out = []
     for k, dt in enumerate(dts):
-        bbox = np.asarray(dt["bbox"], dtype=np.float64)
-        w, h = bbox[2], bbox[3]
-        gts = gt_by_key[dt["image_id"], dt["category_id"]]
-        gtb = [g["bbox"] for g in gts] or [[0, 0, 0, 0]]
-        iscrowd = [int(g.get("iscrowd", 0)) for g in gts] or [0]
-        origin = iou_xywh([bbox], gtb, iscrowd).max()
-        moved = bbox[None, :] + action.actDeltas * np.array([w, h, w, h])
-        new_ious = iou_xywh(moved, gtb, iscrowd).max(axis=1)
-        dious = (new_ious - origin).tolist()
+        origin, dious = action_dious(
+            action, dt["bbox"], gt_by_key[dt["image_id"], dt["category_id"]])
+        dious = dious.tolist()
         enriched = dict(dt)
         enriched["iou"] = float(origin)
         enriched["dious"] = [float(x) for x in dious]

@@ -209,6 +209,10 @@ def main():
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
 
     print("Evaluating detections")
+    # competition mode (reference test_net.py:143): stable un-salted result
+    # files that persist after scoring, ready for submission/inspection
+    if hasattr(imdb_obj, "competition_mode"):
+        imdb_obj.competition_mode(on=True)
     imdb_obj.evaluate_detections(all_boxes, output_dir)
 
 

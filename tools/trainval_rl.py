@@ -170,10 +170,12 @@ def main():
         log.info(f"resumed from {args.resume} at epoch {start_epoch}")
 
     @jax.jit
-    def train_step(params, opt_state, data, bboxes, targets, weights):
+    def train_step(params, opt_state, data, bboxes, targets, weights, num_dts):
         def loss_fn(p):
+            # num_dts restores the reference's exact-batch-max loss
+            # denominator under the 16-quantized collate padding
             _, loss, noweight = model.apply(
-                {"params": p}, data, bboxes, targets, weights
+                {"params": p}, data, bboxes, targets, weights, num_dts
             )
             return loss, noweight
 
@@ -220,6 +222,7 @@ def main():
                     "bboxes": np.asarray(batch["bboxes"]),
                     "targets": np.asarray(batch["labels"][..., 1]),
                     "weights": np.asarray(batch["labels"][..., 2]),
+                    "num_dts": np.asarray(batch["num_dts"]),
                 }
                 if raw["data"].shape[0] % n_dev == 0:
                     sb = shard_batch(mesh, raw)
@@ -228,6 +231,7 @@ def main():
                 params, opt_state, loss, noweight = train_step(
                     params, opt_state,
                     sb["data"], sb["bboxes"], sb["targets"], sb["weights"],
+                    sb["num_dts"],
                 )
                 losses.update(float(loss))
                 batch_time.update(time.time() - end)
