@@ -106,6 +106,23 @@ double rle_iou_pair(const uint32_t* dt, int mdt, const uint32_t* gt, int mgt,
     return denom > 0 ? (double)inter / denom : 0.0;
 }
 
+// Full RLE IoU matrix in one call: counts are packed into one flat array
+// with per-mask offsets/lengths, so python pays ONE ctypes crossing per
+// (image, category) cell instead of n*k (segm eval hot path).
+void rle_iou_matrix(const uint32_t* dts, const int32_t* dt_off,
+                    const int32_t* dt_len, int n,
+                    const uint32_t* gts, const int32_t* gt_off,
+                    const int32_t* gt_len, int k,
+                    const uint8_t* iscrowd, double* out) {
+    for (int j = 0; j < k; ++j) {
+        int crowd = iscrowd != nullptr && iscrowd[j];
+        for (int i = 0; i < n; ++i) {
+            out[(long)i * k + j] = rle_iou_pair(
+                dts + dt_off[i], dt_len[i], gts + gt_off[j], gt_len[j], crowd);
+        }
+    }
+}
+
 // Bounding-box IoU, xywh, crowd-aware — the bbIou of maskApi.c.
 void bb_iou(const double* dt, int n, const double* gt, int k,
             const uint8_t* iscrowd, double* out) {
@@ -170,6 +187,12 @@ int rle_from_bbox(const double* bb, int h, int w, uint32_t* counts) {
     int ys = (int)bb[1];
     int xe = (int)(bb[0] + bb[2] - 1);
     int ye = (int)(bb[1] + bb[3] - 1);
+    if (bb[2] <= 0 || bb[3] <= 0 || xe < 0 || ye < 0 || xs >= w || ys >= h) {
+        // degenerate/out-of-frame box → empty mask (one all-zeros run);
+        // without this, xe < xs makes the trailing-run arithmetic negative
+        counts[0] = (uint32_t)((long)h * w);
+        return 1;
+    }
     xs = std::max(0, std::min(xs, w - 1));
     xe = std::max(0, std::min(xe, w - 1));
     ys = std::max(0, std::min(ys, h - 1));

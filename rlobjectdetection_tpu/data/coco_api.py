@@ -166,7 +166,6 @@ class COCO:
 
     def annToMask(self, ann):
         """An annotation's segmentation → binary [H, W] mask."""
-        from . import mask as maskUtils
         from .. import native
 
         return native.decode(self.annToRLE(ann))

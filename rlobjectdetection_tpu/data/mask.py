@@ -85,6 +85,11 @@ def frPyObjects(pyobj, h: int, w: int):
     if isinstance(pyobj, np.ndarray) and pyobj.ndim == 2 and pyobj.shape[1] == 4:
         return [native.from_bbox(b, h, w) for b in pyobj]
     if isinstance(pyobj, list) and pyobj and isinstance(pyobj[0], (list, np.ndarray)):
+        # pycocotools: a list of 4-element sequences is xywh BOXES, not
+        # polygons (_mask.pyx frPyObjects: len(pyobj[0]) == 4 → frBbox;
+        # polygons have >= 6 coordinates)
+        if len(pyobj[0]) == 4:
+            return [native.from_bbox(b, h, w) for b in pyobj]
         return [_to_native(p, h, w) for p in pyobj]
     if isinstance(pyobj, list) and pyobj and isinstance(pyobj[0], dict):
         return [_to_native(p) for p in pyobj]
@@ -133,9 +138,12 @@ def toBbox(obj) -> np.ndarray:
 
 
 def iou(dt, gt, iscrowd=None) -> np.ndarray:
-    """IoU matrix for RLEs/segmentation objects or [N,4] xywh boxes."""
+    """IoU matrix for RLEs/segmentation objects or [N,4] xywh boxes.
+    Empty sides yield an empty matrix (pycocotools returns [])."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)), dtype=np.float64)
     if isinstance(dt, np.ndarray) or (
-        dt and isinstance(dt[0], (list, np.ndarray)) and len(dt[0]) == 4
+        isinstance(dt[0], (list, np.ndarray)) and len(dt[0]) == 4
     ):
         return native.iou(dt, gt, iscrowd)
     return native.iou([_to_native(d) for d in dt],

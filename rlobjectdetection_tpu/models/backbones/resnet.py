@@ -449,7 +449,7 @@ def resnet_param_trainable(path: Sequence[str], fixed_blocks: int = 1) -> bool:
     ("layer1", "block0", "conv1", "kernel"). BN params are always frozen.
     """
     p = "/".join(path)
-    if "bn" in p or "downsample_bn" in p or p.startswith("bn1"):
+    if "bn" in p:   # covers bn1/bn2/bn3/downsample_bn at any depth
         return False
     if path[0] in ("conv1", "bn1"):
         return False

@@ -3,8 +3,10 @@
 C++ rebuild of the vendored pycocotools mask core
 (/root/reference/lib/pycocotools/maskApi.{h,c} + _mask.pyx): encode/decode/
 merge/area/iou/toBbox/frBbox/frPoly on column-major RLE masks. Built lazily
-with g++ on first use and cached next to the source; falls back gracefully
-(callers use the numpy bbox path) if no compiler is available.
+with g++ on first use and cached next to the source (content-hash gated).
+Only the segm paths need this library — bbox IoU/eval runs on the pure-numpy
+coco_api.iou_xywh without importing it; a g++-less host fails here with the
+compiler's error the first time a segm path is used.
 """
 
 from __future__ import annotations
@@ -68,6 +70,10 @@ def get_lib():
                                ctypes.c_int, u32p]
     lib.rle_iou_pair.restype = ctypes.c_double
     lib.rle_iou_pair.argtypes = [u32p, ctypes.c_int, u32p, ctypes.c_int, ctypes.c_int]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.rle_iou_matrix.restype = None
+    lib.rle_iou_matrix.argtypes = [u32p, i32p, i32p, ctypes.c_int,
+                                   u32p, i32p, i32p, ctypes.c_int, u8p, dp]
     lib.bb_iou.restype = None
     lib.bb_iou.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int, u8p, dp]
     lib.rle_to_bbox.restype = None
@@ -136,25 +142,43 @@ def merge(a: RLE, b: RLE, intersect: bool = False) -> RLE:
 def iou(dt, gt, iscrowd=None) -> np.ndarray:
     """IoU matrix. dt/gt: lists of RLE, or [N,4] xywh arrays (bbox mode)."""
     lib = get_lib()
+
+    def _crowd(k):
+        if iscrowd is None:
+            return np.zeros(k, dtype=np.uint8)
+        c = np.ascontiguousarray(np.asarray(iscrowd, dtype=np.uint8))
+        if len(c) != k:
+            # the C side indexes iscrowd[0..k): a short array would be an
+            # out-of-bounds read (pycocotools asserts the same)
+            raise ValueError(f"iscrowd length {len(c)} != number of gt {k}")
+        return c
+
     if isinstance(dt, np.ndarray) or (dt and isinstance(dt[0], (list, np.ndarray))):
         dtb = np.ascontiguousarray(np.asarray(dt, dtype=np.float64)).reshape(-1, 4)
         gtb = np.ascontiguousarray(np.asarray(gt, dtype=np.float64)).reshape(-1, 4)
         n, k = len(dtb), len(gtb)
-        crowd = np.zeros(k, dtype=np.uint8)
-        if iscrowd is not None:
-            crowd = np.asarray(iscrowd, dtype=np.uint8)
         out = np.zeros((n, k), dtype=np.float64)
-        lib.bb_iou(_dp(dtb), n, _dp(gtb), k, _u8p(crowd), _dp(out))
+        lib.bb_iou(_dp(dtb), n, _dp(gtb), k, _u8p(_crowd(k)), _dp(out))
         return out
     n, k = len(dt), len(gt)
     out = np.zeros((n, k), dtype=np.float64)
-    crowd = list(iscrowd) if iscrowd is not None else [0] * k
-    for j, g in enumerate(gt):
-        for i, d in enumerate(dt):
-            out[i, j] = lib.rle_iou_pair(
-                _u32p(d.counts), len(d.counts), _u32p(g.counts), len(g.counts),
-                int(crowd[j]),
-            )
+    if n == 0 or k == 0:
+        return out
+
+    def _pack(rles):
+        lens = np.array([len(r.counts) for r in rles], dtype=np.int32)
+        offs = np.zeros(len(rles), dtype=np.int32)
+        np.cumsum(lens[:-1], out=offs[1:])
+        flat = np.concatenate([r.counts for r in rles]).astype(np.uint32)
+        return np.ascontiguousarray(flat), offs, lens
+
+    i32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    dflat, doff, dlen = _pack(dt)
+    gflat, goff, glen = _pack(gt)
+    # one ctypes crossing for the whole matrix (segm-eval hot path)
+    lib.rle_iou_matrix(_u32p(dflat), i32(doff), i32(dlen), n,
+                       _u32p(gflat), i32(goff), i32(glen), k,
+                       _u8p(_crowd(k)), _dp(out))
     return out
 
 

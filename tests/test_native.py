@@ -77,3 +77,60 @@ def test_from_poly_square():
     # interior pixels (centers inside [2,12]×[3,9])
     assert m[4:8, 3:11].all()
     assert m[:3].sum() == 0 and m[:, :2].sum() == 0
+
+
+def test_from_bbox_degenerate_is_empty():
+    """Zero-width/height or out-of-frame boxes must encode an EMPTY mask
+    (pycocotools rleFrBbox); the unguarded column walk once emitted a
+    garbage multi-thousand-pixel run."""
+    from rlobjectdetection_tpu import native
+
+    for bb in ([10, 10, 0, 5], [10, 10, 5, 0], [60, 10, 5, 5], [-9, -9, 3, 3]):
+        assert native.area(native.from_bbox(bb, 50, 50)) == 0, bb
+
+
+def test_mask_frpyobjects_bbox_list_dispatch():
+    """A list of 4-element lists is xywh BOXES (pycocotools _mask.pyx), not a
+    2-point polygon."""
+    from rlobjectdetection_tpu import native
+    from rlobjectdetection_tpu.data import mask
+
+    (r,) = mask.frPyObjects([[10, 10, 20, 20]], 50, 50)
+    assert native.area(r) == 400
+
+
+def test_mask_iou_empty_sides():
+    from rlobjectdetection_tpu.data import mask
+
+    assert mask.iou([], [[1, 1, 2, 2]], None).shape == (0, 1)
+    assert mask.iou([[1, 1, 2, 2]], [], None).shape == (1, 0)
+
+
+def test_native_iou_rejects_short_iscrowd():
+    import pytest
+
+    from rlobjectdetection_tpu import native
+
+    with pytest.raises(ValueError, match="iscrowd"):
+        native.iou(np.array([[0, 0, 2, 2.0]]),
+                   np.array([[0, 0, 2, 2.0], [1, 1, 2, 2.0]]), iscrowd=[1])
+
+
+def test_rle_iou_matrix_matches_pairs():
+    """The one-call matrix path equals per-pair rle_iou_pair results."""
+    from rlobjectdetection_tpu import native
+
+    rng = np.random.RandomState(0)
+    masks = [(rng.rand(20, 30) > 0.5).astype(np.uint8) for _ in range(4)]
+    rles = [native.encode(m) for m in masks]
+    got = native.iou(rles[:2], rles[2:], iscrowd=[0, 1])
+    lib = native.get_lib()
+    import ctypes
+    for i, d in enumerate(rles[:2]):
+        for j, g in enumerate(rles[2:]):
+            ref = lib.rle_iou_pair(
+                d.counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                len(d.counts),
+                g.counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                len(g.counts), j)
+            np.testing.assert_allclose(got[i, j], ref, rtol=1e-12)
