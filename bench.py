@@ -124,7 +124,10 @@ def main():
     if "--rl" in sys.argv:
         _bench_rl(batch_size, h, w)
         return
-    model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
+    # --vgg16: the reference's other model family (COCO VGG-16 bs16 anchor =
+    # 4.9 hr/epoch on 8 GPUs ≈ 0.83 img/s/GPU, README.md:78)
+    backbone = "vgg16" if "--vgg16" in sys.argv else "resnet101"
+    model = FasterRCNN(num_classes=81, backbone=backbone, cfg=cfg)
 
     rng = np.random.RandomState(3)
     batch = {
@@ -143,7 +146,8 @@ def main():
         batch["data"], batch["im_info"], batch["gt_boxes"], batch["num_boxes"],
         train=True,
     )["params"]
-    tx, _ = build_optimizer(params, "resnet101", base_lr=0.01)
+    tx, _ = build_optimizer(params, backbone, base_lr=0.01,
+                            clip_norm=10.0 if backbone == "vgg16" else None)
     state = TrainState(params, tx.init(params), jnp.int32(0))
     step = make_train_step(model, tx, donate="--donate" in sys.argv)
 
@@ -164,7 +168,8 @@ def main():
         holder["i"] += 1
         return metrics
 
-    _measure_and_report("train_images_per_sec_per_chip_res101_coco800",
+    tag = "vgg16" if backbone == "vgg16" else "res101"
+    _measure_and_report(f"train_images_per_sec_per_chip_{tag}_coco800",
                         run_once, lambda m: float(m["loss"]), batch_size,
                         step_flops=step_flops)
 
