@@ -66,9 +66,13 @@ class coco(imdb):
         image_path = os.path.join(self._data_path, "images", self._data_name, file_name)
         if not os.path.exists(image_path):
             # 2017-style layout fallback: images/<data_name>/<12-digit id>.jpg
-            image_path = os.path.join(
+            fallback = os.path.join(
                 self._data_path, "images", self._data_name, str(index).zfill(12) + ".jpg"
             )
+            assert os.path.exists(fallback), (
+                f"image {index} not found under either layout: "
+                f"{image_path} / {fallback}")   # reference coco.py asserts too
+            image_path = fallback
         return image_path
 
     def gt_roidb(self):

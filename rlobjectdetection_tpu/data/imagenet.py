@@ -66,7 +66,11 @@ class imagenet(imdb):
                             self._set_dir(), index + self._image_ext)
 
     def _set_dir(self):
-        return "train" if self._image_set == "train" else "val"
+        # val1/val2 are subsets of the val release; train and test each have
+        # their own Data/Annotations directory
+        if self._image_set.startswith("val"):
+            return "val"
+        return self._image_set
 
     def _load_image_set_index(self):
         candidates = [
@@ -144,7 +148,9 @@ class imagenet(imdb):
                     if len(gt_boxes):
                         ov = bbox_overlaps_np(dets[d : d + 1, :4].astype(float), gt_boxes)[0]
                         j = ov.argmax()
-                        if ov[j] >= 0.5 and not matched[j]:
+                        # strict >, the same matching protocol as voc_eval
+                        # (ovmax > ovthresh) so APs are comparable across imdbs
+                        if ov[j] > 0.5 and not matched[j]:
                             matched[j] = True
                             tp.append(1)
                             fp.append(0)

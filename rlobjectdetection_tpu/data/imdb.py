@@ -13,12 +13,9 @@ All host-side numpy — this layer feeds the fixed-shape device pipeline.
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Dict, List
 
 import numpy as np
-
-from .coco_api import iou_xywh
 
 
 class imdb:
@@ -157,9 +154,14 @@ class imdb:
             # (proposal, gt) pair each round and retire both. gt-major flat
             # argmax reproduces the reference's tie order (first gt, then
             # first proposal — imdb.py:187-214).
-            picked = np.empty(gt_boxes.shape[0])
-            for j in range(gt_boxes.shape[0]):
+            picked = np.zeros(gt_boxes.shape[0])
+            for j in range(min(gt_boxes.shape[0], boxes.shape[0])):
+                # fewer proposals than gts exhausts the matrix: the surplus
+                # gts keep overlap 0 (the -1 retirement sentinel must not
+                # leak into the returned gt_overlaps)
                 gi, bi = divmod(int(ov.T.argmax()), ov.shape[0])
+                if ov[bi, gi] < 0:
+                    break
                 picked[j] = ov[bi, gi]
                 ov[bi, :] = -1
                 ov[:, gi] = -1

@@ -86,10 +86,12 @@ def load_entry_image_gt(entry, scales, rng):
     return im, gt_boxes, im_scale
 
 
-def get_minibatch(roidb_entries, scales, num_classes=None, multiple: int = 32,
+def get_minibatch(roidb_entries, scales, multiple: int = 32,
                   rng: np.random.RandomState | None = None):
     """Single/multi-image minibatch (minibatch.py:21-56): scale sampled per
-    image, blob padded + quantized; gt boxes from non-crowd fg rois, scaled.
+    image, blob padded + quantized; gt boxes are all foreground entries
+    (gt_classes != 0 — COCO crowd boxes included, like USE_ALL_GT upstream),
+    scaled to image coords.
 
     Returns dict(data [N,H,W,3], im_info [N,3], gt_boxes list of [G,5]).
     """

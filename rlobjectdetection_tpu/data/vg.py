@@ -119,6 +119,21 @@ class vg(imdb):
         return direct
 
     def _load_image_set_index(self):
+        # the filtered index costs one XML parse per candidate image
+        # (_has_vocab_object) — cache it like the reference's
+        # vg_image_index_<set>.p (reference vg.py:81-95)
+        cache_file = os.path.join(self.cache_path,
+                                  self.name + "_image_index.pkl")
+        if os.path.exists(cache_file):
+            with open(cache_file, "rb") as fid:
+                index, self._id_to_dir = pickle.load(fid)
+            return index
+        index = self._build_image_set_index()
+        with open(cache_file, "wb") as fid:
+            pickle.dump((index, self._id_to_dir), fid, pickle.HIGHEST_PROTOCOL)
+        return index
+
+    def _build_image_set_index(self):
         split_file = self._split_path()
         if os.path.exists(split_file):
             with open(split_file) as f:
