@@ -46,7 +46,7 @@ def softmax_cross_entropy(logits, labels, valid_mask=None):
     return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
-def weighted_mse_loss(pred, targets, weights, denom=None):
+def weighted_mse_loss(pred, targets, weights, denom=None, row_mask=None):
     """RL action-value loss (Reinforcement/resnet.py:195-199):
     mean((pred-t)²·w), plus the unweighted mean for logging.
 
@@ -55,9 +55,13 @@ def weighted_mse_loss(pred, targets, weights, denom=None):
     B·max_n·A. The TPU collate quantizes the axis to multiples of 16 for a
     bounded jit cache; dividing by the padded count would shrink the loss
     (and effective lr) by a per-batch factor, so callers pass the
-    reference's denominator (padding carries zero weight/targets either
-    way, leaving the numerator exact)."""
+    reference's denominator. row_mask ([rows] bool) zeroes the quantization
+    padding out of the NUMERATOR too — the weighted term is already exact
+    (padding weights are 0) but the unweighted logging term would otherwise
+    count (pred-0)² garbage the reference never sees."""
     noweight = (pred - targets) ** 2
+    if row_mask is not None:
+        noweight = noweight * row_mask[:, None].astype(noweight.dtype)
     weighted = noweight * weights
     if denom is None:
         return weighted.mean(), noweight.mean()

@@ -81,11 +81,16 @@ class RLPolicyNet(nn.Module):
             return pred, jnp.float32(0.0), jnp.float32(0.0)
         t = targets.reshape(-1, self.num_acts)
         w = weights.reshape(-1, self.num_acts)
-        denom = None
+        denom = row_mask = None
         if num_dts is not None:
-            denom = (img.shape[0] * self.num_acts
-                     * jnp.maximum(jnp.max(num_dts), 1))
-        loss, noweight = weighted_mse_loss(pred, t, w, denom=denom)
+            max_true = jnp.maximum(jnp.max(num_dts), 1)
+            denom = img.shape[0] * self.num_acts * max_true
+            # rows beyond the exact batch max exist only because of the
+            # 16-quantized collate; the reference's loss terms never see them
+            slot_ok = jnp.arange(bboxes.shape[1]) < max_true      # [N]
+            row_mask = jnp.tile(slot_ok, img.shape[0])            # [B·N]
+        loss, noweight = weighted_mse_loss(pred, t, w, denom=denom,
+                                           row_mask=row_mask)
         return pred, loss, noweight
 
 

@@ -1,12 +1,14 @@
 """Anchor generation.
 
-Reference semantics: /root/reference/lib/model/rpn/generate_anchors.py:45-105
-(ratio-enum then scale-enum around a ``base_size`` × ``base_size`` window with the
-Caffe "+1 width" convention). The golden 9-anchor matrix from
-generate_anchors.py:29-37 is the regression oracle (see tests/test_anchors.py).
+Behavioral counterpart of /root/reference/lib/model/rpn/generate_anchors.py:
+45-105 (ratio enumeration then scale enumeration around a ``base_size`` ×
+``base_size`` window with the Caffe "+1 width" convention). Implemented here
+in closed form with one broadcast rather than the reference's per-anchor
+helper cascade; the golden 9-anchor matrix from generate_anchors.py:29-37 is
+the regression oracle (see tests/test_geometry.py).
 
-Anchors are static given the config, so they are computed in numpy at trace time
-and baked into the jitted program as constants.
+Anchors are static given the config, so they are computed in numpy at trace
+time and baked into the jitted program as constants.
 """
 
 from __future__ import annotations
@@ -16,53 +18,30 @@ import functools
 import numpy as np
 
 
-def _whctrs(anchor: np.ndarray):
-    w = anchor[2] - anchor[0] + 1.0
-    h = anchor[3] - anchor[1] + 1.0
-    x_ctr = anchor[0] + 0.5 * (w - 1.0)
-    y_ctr = anchor[1] + 0.5 * (h - 1.0)
-    return w, h, x_ctr, y_ctr
-
-
-def _mkanchors(ws: np.ndarray, hs: np.ndarray, x_ctr: float, y_ctr: float):
-    ws = ws[:, None]
-    hs = hs[:, None]
-    return np.hstack(
-        (
-            x_ctr - 0.5 * (ws - 1.0),
-            y_ctr - 0.5 * (hs - 1.0),
-            x_ctr + 0.5 * (ws - 1.0),
-            y_ctr + 0.5 * (hs - 1.0),
-        )
-    )
-
-
-def _ratio_enum(anchor: np.ndarray, ratios: np.ndarray):
-    w, h, x_ctr, y_ctr = _whctrs(anchor)
-    size = w * h
-    size_ratios = size / ratios
-    ws = np.round(np.sqrt(size_ratios))
-    hs = np.round(ws * ratios)
-    return _mkanchors(ws, hs, x_ctr, y_ctr)
-
-
-def _scale_enum(anchor: np.ndarray, scales: np.ndarray):
-    w, h, x_ctr, y_ctr = _whctrs(anchor)
-    ws = w * scales
-    hs = h * scales
-    return _mkanchors(ws, hs, x_ctr, y_ctr)
-
-
 @functools.lru_cache(maxsize=None)
 def _generate_anchors_cached(base_size, ratios, scales) -> np.ndarray:
-    ratios = np.array(ratios, dtype=np.float64)
-    scales = np.array(scales, dtype=np.float64)
-    base_anchor = np.array([1, 1, base_size, base_size], dtype=np.float64) - 1
-    ratio_anchors = _ratio_enum(base_anchor, ratios)
-    anchors = np.vstack(
-        [_scale_enum(ratio_anchors[i, :], scales) for i in range(ratio_anchors.shape[0])]
-    )
-    return anchors.astype(np.float32)
+    ratios = np.asarray(ratios, dtype=np.float64)
+    scales = np.asarray(scales, dtype=np.float64)
+    # Ratio step: pick integer (w, h) whose area approximates base_size² at
+    # each aspect ratio — w = round(sqrt(area/ratio)), h = round(w·ratio).
+    # The rounding happens BEFORE scaling (so every scaled anchor of one
+    # ratio shares the same aspect quantization, a property the golden
+    # matrix encodes).
+    area = float(base_size) ** 2
+    w_r = np.round(np.sqrt(area / ratios))              # [R]
+    h_r = np.round(w_r * ratios)                        # [R]
+    # Scale step: multiply each ratio window by every scale; layout is
+    # ratio-major, scale-minor like the reference's vstack-over-ratios.
+    ws = (w_r[:, None] * scales[None, :]).reshape(-1)   # [R·S]
+    hs = (h_r[:, None] * scales[None, :]).reshape(-1)
+    # All windows share the base window's center under the +1 convention;
+    # (x1, y1, x2, y2) = ctr ∓ (len-1)/2.
+    ctr = (base_size - 1) / 2.0
+    half_w = (ws - 1.0) / 2.0
+    half_h = (hs - 1.0) / 2.0
+    out = np.stack([ctr - half_w, ctr - half_h, ctr + half_w, ctr + half_h],
+                   axis=1)
+    return out.astype(np.float32)
 
 
 def generate_anchors(base_size: int = 16, ratios=(0.5, 1, 2), scales=(8, 16, 32)) -> np.ndarray:

@@ -174,11 +174,15 @@ def _fwd(features, rois, pooled_size, spatial_scale, rois_per_image):
 
 
 def _bwd(pooled_size, spatial_scale, rois_per_image, res, g):
-    from .roi_align import roi_align_avg
+    # backward through the sorted-scatter cvjp, NOT autodiff: the autodiff
+    # transpose emits an unsorted scatter that costs minutes of TPU compile
+    # (roi_align_vjp.py / DESIGN.md); both backwards are numerically identical
+    from .roi_align_vjp import roi_align_avg_cvjp
 
     features, rois = res
     _, vjp = jax.vjp(
-        lambda f: roi_align_avg(f, rois, pooled_size, spatial_scale), features)
+        lambda f: roi_align_avg_cvjp(f, rois, pooled_size, spatial_scale),
+        features)
     return vjp(g.astype(features.dtype))[0], jnp.zeros_like(rois)
 
 

@@ -150,8 +150,6 @@ def main():
     sched = make_lr_schedule(args.lr, args.lr_decay_step * iters_per_epoch,
                              args.lr_decay_gamma)
     clip = 10.0 if backbone == "vgg16" else None  # trainval_net.py:331-332
-    init_params = None
-    tx = None
 
     # data-parallel mesh over as many devices as evenly divide the batch
     n_host = jax.process_count()
@@ -228,6 +226,8 @@ def main():
         meters = {k: AveMeter() for k in
                   ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box")}
         global_step = int(state.step)
+        run_steps = 0   # steps THIS run (the --profile window must not
+                        # depend on the resumed global step)
         from rlobjectdetection_tpu.data.prefetch import AsyncLoader, device_prefetch
 
         def put(b):
@@ -252,7 +252,8 @@ def main():
                     state, sharded, jax.random.fold_in(step_key, global_step)
                 )
                 global_step += 1
-                if args.profile and global_step == int(args.profile):
+                run_steps += 1
+                if args.profile and run_steps == int(args.profile):
                     from rlobjectdetection_tpu.utils.logging import stop_profiler_trace
 
                     jax.block_until_ready(metrics["loss"])

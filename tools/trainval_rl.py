@@ -233,10 +233,13 @@ def main():
                     sb["data"], sb["bboxes"], sb["targets"], sb["weights"],
                     sb["num_dts"],
                 )
-                losses.update(float(loss))
                 batch_time.update(time.time() - end)
                 end = time.time()
                 if it % 10 == 0:
+                    # value-fetch only at log time: float(loss) every step
+                    # would sync the dispatch pipeline per iteration (the
+                    # per-call latency is the axon bottleneck, CLAUDE.md)
+                    losses.update(float(loss))
                     log.info(
                         f"[{epoch}][{it}/{len(loader)}] loss {losses.avg:.4f} "
                         f"(noweight {float(noweight):.4f}) "
