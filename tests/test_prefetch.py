@@ -90,3 +90,39 @@ def test_device_prefetch_order_and_depth():
         assert len(puts) >= min(len(consumed) + 1, 6)
         out.append(v)
     assert out == [0, 10, 20, 30, 40, 50]
+
+
+def test_async_loader_over_host_shard_slices(tmp_path):
+    """AsyncLoader(HostShardLoader(...)) — the multi-host production path —
+    yields exactly the serial slice assembly in plan order."""
+    import numpy as np
+    from PIL import Image
+
+    from rlobjectdetection_tpu.data.imdb import rank_roidb_ratio
+    from rlobjectdetection_tpu.data.loader import HostShardLoader, RoiBatchLoader
+    from rlobjectdetection_tpu.data.prefetch import AsyncLoader
+
+    rng = np.random.RandomState(3)
+    roidb = []
+    for i, (h, w) in enumerate([(120, 160), (160, 120), (140, 150), (150, 140)]):
+        p = str(tmp_path / f"a{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(p)
+        roidb.append({
+            "image": p, "flipped": False,
+            "boxes": np.array([[4, 4, w // 2, h // 2]], dtype=np.uint16),
+            "gt_classes": np.array([1], dtype=np.int32),
+            "width": w, "height": h,
+        })
+    ratio_list, ratio_index = rank_roidb_ratio(roidb)
+
+    def mk():
+        return HostShardLoader(
+            RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size=4,
+                           scales=(120,), max_num_gt=4, seed=9),
+            start=2, size=2)
+
+    serial = list(mk())
+    asyncv = list(AsyncLoader(mk(), num_workers=2))
+    assert len(serial) == len(asyncv) == 1
+    for k in ("data", "im_info", "gt_boxes", "num_boxes"):
+        np.testing.assert_array_equal(serial[0][k], asyncv[0][k], err_msg=k)
