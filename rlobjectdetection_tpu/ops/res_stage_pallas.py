@@ -117,13 +117,16 @@ def _stage_kernel(x_ref, w1s, m2s, w3s, wd, a1s, a2s, a3s, ad, out_hbm,
 
     # ---- dy bands: above = roll(+Wo) (top Wo rows have no above), below =
     # roll(-Wo) (tail rows read zeros; wrapped head rows are killed because
-    # they only feed pad-row outputs or masked column taps) ----
-    t1 = t3[_HALO:_HALO + pp, w:2 * w]
+    # they only feed pad-row outputs or masked column taps). The roll runs
+    # in f32: this toolchain's AOT Mosaic path rejects sub-32-bit sublane
+    # rotates ("Rotate with non-32-bit data"); casts are free when
+    # compute_dtype is already f32 ----
+    t1 = t3[_HALO:_HALO + pp, w:2 * w].astype(jnp.float32)
     riota = lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
     above = jnp.where(riota >= wo, pltpu.roll(t1, wo, 0), 0)
     below = jnp.where(riota < p - wo, pltpu.roll(t1, pp - wo, 0), 0)
-    t3[_HALO:_HALO + pp, 0:w] = above
-    t3[_HALO:_HALO + pp, 2 * w:3 * w] = below
+    t3[_HALO:_HALO + pp, 0:w] = above.astype(compute_dtype)
+    t3[_HALO:_HALO + pp, 2 * w:3 * w] = below.astype(compute_dtype)
 
     # ---- conv2 (packed 3x3) + conv3 + residual + relu, per chunk ----
     b2 = a2s[0]                                         # [1, w]
@@ -240,6 +243,10 @@ def _fused_res_stage_impl(static, x, *packed):
             pltpu.VMEM((pp + 2 * _HALO, 3 * w), compute_dtype),  # t3
             pltpu.SemaphoreType.DMA,
         ],
+        # layer2's slab scratch alone is ~16 MB at bench shapes — past the
+        # 16 MB default scoped-vmem limit, well under the 128 MB v5e VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xf, *packed)
     return out[:, :p, :].reshape(b, ho, wo, cmax)
