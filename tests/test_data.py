@@ -232,6 +232,7 @@ def test_loader_need_crop(tmp_path):
 
     root = tmp_path / "wide"
     make_voc_devkit(str(root), num_images=4, image_size=(100, 400))  # ratio 4 > 2
+    prev = os.environ.get("RLOD_DATA_DIR")   # module-scoped data_root owns it
     os.environ["RLOD_DATA_DIR"] = str(root)
     try:
         db = pascal_voc("trainval", "2007")
@@ -252,7 +253,10 @@ def test_loader_need_crop(tmp_path):
             g = batch["gt_boxes"][i][: batch["num_boxes"][i]]
             assert (g[:, 2] <= batch["im_info"][i, 1]).all()
     finally:
-        os.environ.pop("RLOD_DATA_DIR", None)
+        if prev is None:
+            os.environ.pop("RLOD_DATA_DIR", None)
+        else:
+            os.environ["RLOD_DATA_DIR"] = prev
 
 
 def test_loader_straddle_square_crop_and_canvas_im_info():

@@ -111,6 +111,20 @@ def ref_cocoeval():
     return mod
 
 
+@pytest.fixture(scope="module")
+def ref_coco_api(ref_cocoeval):
+    """The REFERENCE's COCO container (coco.py loader + loadRes) — so the
+    parity test compares our whole stack (container included) against the
+    reference's, not just the evaluator over a shared container (a loadRes
+    bug would otherwise cancel out)."""
+    spec = importlib.util.spec_from_file_location(
+        "refcocopkg.coco", os.path.join(REF, "lib/pycocotools/coco.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refcocopkg.coco"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 # ---------------------------------------------------------------- VOC fixture
 
 VOC_CLASSES = ("cat", "dog", "bird")
@@ -264,7 +278,7 @@ def _make_coco_fixture(tmp_path, rng):
     return str(gt_file), str(dt_file)
 
 
-def test_cocoeval_bbox_matches_reference(tmp_path, ref_cocoeval, rng):
+def test_cocoeval_bbox_matches_reference(tmp_path, ref_cocoeval, ref_coco_api, rng):
     from rlobjectdetection_tpu.data.coco_api import COCO
     from rlobjectdetection_tpu.data.coco_eval import COCOeval
 
@@ -277,8 +291,10 @@ def test_cocoeval_bbox_matches_reference(tmp_path, ref_cocoeval, rng):
     ours.accumulate()
     ours.summarize()
 
-    # fresh COCO objects — evaluateImg mutates ann dicts in place
-    ref_gt = COCO(gt_file, quiet=True)
+    # the reference side runs end-to-end on the REFERENCE's own container —
+    # its json loader + loadRes + cocoeval — so a bug in OUR container
+    # (areas, id assignment, ann indexing) cannot cancel out of the parity
+    ref_gt = ref_coco_api.COCO(gt_file)
     ref_dt = ref_gt.loadRes(dt_file)
     ref = ref_cocoeval.COCOeval(ref_gt, ref_dt)
     ref.params.useSegm = 0
@@ -318,20 +334,44 @@ def test_move_from_act_matches_reference(ref_action, rng):
         assert ours_prec == ref_prec
 
 
-def test_move_from_act_tie_determinism(rng):
-    """With ties our rule is fixed (larger flattened index first) — repeated
-    runs must agree with themselves."""
+def test_move_from_act_tie_rule_hand_computed():
+    """With ALL scores tied, our documented rule (larger flattened index
+    first, for both the action choice and the box ranking) fully determines
+    the outcome — pin it against a hand computation. (The reference's tie
+    order is unspecified — plain unstable argsort — so this pins OUR rule,
+    not reference parity, which the tie-free oracle above covers.)"""
     from rlobjectdetection_tpu.models.rl.action import Action
 
-    act = Action([0.1])
-    b, n, a = 2, 4, act.num_acts
-    preds = np.round(rng.rand(b, n, a) * 3) / 3.0   # heavy ties
-    targets = (rng.rand(b, n, a) < 0.5).astype(np.float64)
-    boxes = (rng.rand(b, n, 4) * 50 + 5).astype(np.float64)
-    out1, p1 = act.move_from_act(boxes.copy(), preds.copy(), targets.copy(), 3)
-    out2, p2 = act.move_from_act(boxes.copy(), preds.copy(), targets.copy(), 3)
-    np.testing.assert_array_equal(out1, out2)
-    assert p1 == p2
+    act = Action([0.1])              # 8 actions; act 7 = y2 coord, -0.1
+    assert act.num_acts == 8
+    b, n = 1, 2
+    preds = np.full((b, n, 8), 5.0)  # every (box, action) tied
+    targets = np.ones((b, n, 8))     # teacher says every move helps
+    boxes = np.array([[[10.0, 10.0, 20.0, 40.0],
+                       [30.0, 30.0, 10.0, 16.0]]])
+    # larger flat index first: box1/act7 outranks everything -> with maxk=1
+    # only box1 moves, by actDeltas[7] = (0,0,0,-0.1) * (w,h,w,h)
+    out, prec = act.move_from_act(boxes.copy(), preds.copy(),
+                                  targets.copy(), 1)
+    expect = boxes.copy()
+    expect[0, 1, 3] -= 0.1 * 16.0
+    np.testing.assert_allclose(out, expect, atol=1e-12)
+    assert prec == 100.0
+    # maxk=2: both boxes move, each by its own act-7 step
+    out2, prec2 = act.move_from_act(boxes.copy(), preds.copy(),
+                                    targets.copy(), 2)
+    expect2 = boxes.copy()
+    expect2[0, 1, 3] -= 0.1 * 16.0
+    expect2[0, 0, 3] -= 0.1 * 40.0
+    np.testing.assert_allclose(out2, expect2, atol=1e-12)
+    assert prec2 == 100.0
+    # teacher forcing gates the move: target -1 on the chosen action freezes
+    # the box and costs precision
+    targets3 = targets.copy()
+    targets3[0, 1, 7] = -1.0
+    out3, prec3 = act.move_from_act(boxes.copy(), preds.copy(), targets3, 1)
+    np.testing.assert_allclose(out3, boxes, atol=1e-12)
+    assert prec3 == 0.0
 
 
 def test_ds_utils_behavior(rng):

@@ -65,11 +65,13 @@ def test_forward_inference(backbone):
     assert out["bbox_pred"].shape == (b, r, 16)
     probs = np.asarray(out["cls_prob"])
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
-    # rois stay within the image
+    # rois stay within the image — x2/y2 are the binding columns for the
+    # clip (x1 <= x2 would hide an unclipped max corner)
     rois = np.asarray(out["rois"])
+    w, h = batch["data"].shape[2], batch["data"].shape[1]
     assert (rois[..., 1:] >= 0).all()
-    assert (rois[..., 1] <= batch["data"].shape[2] - 1).all()
-    assert (rois[..., 2] <= batch["data"].shape[1] - 1).all()
+    assert (rois[..., 1] <= w - 1).all() and (rois[..., 3] <= w - 1).all()
+    assert (rois[..., 2] <= h - 1).all() and (rois[..., 4] <= h - 1).all()
 
 
 @pytest.mark.parametrize("pooling_mode", ["align"])

@@ -45,7 +45,8 @@ def test_nms_matches_oracle_small(rng):
             oracle = np_greedy_nms(boxes, scores, thresh)
             order, keep = nms(jnp.asarray(boxes), jnp.asarray(scores), thresh)
             got = np.asarray(order)[np.asarray(keep)]
-            np.testing.assert_array_equal(np.sort(got), np.sort(oracle)), (n, thresh)
+            np.testing.assert_array_equal(np.sort(got), np.sort(oracle),
+                                          err_msg=f"n={n} thresh={thresh}")
 
 
 def test_nms_matches_oracle_dense_clusters(rng):

@@ -18,9 +18,18 @@ def _make_loader(tmp_path, seed=3, num_images=8, batch_size=2):
     if not os.path.isdir(os.path.join(root, "VOCdevkit2007")):
         make_voc_devkit(root, num_images=num_images, image_size=(96, 128),
                         classes=("aeroplane", "bicycle", "bird"))
+    prev = os.environ.get("RLOD_DATA_DIR")
     os.environ["RLOD_DATA_DIR"] = root
-    _, roidb, ratio_list, ratio_index = combined_roidb(
-        "voc_2007_trainval", training=True, use_flipped=False)
+    try:
+        _, roidb, ratio_list, ratio_index = combined_roidb(
+            "voc_2007_trainval", training=True, use_flipped=False)
+    finally:
+        # restore — leaking the var would redirect any later test module
+        # that relies on its own fixture's value
+        if prev is None:
+            os.environ.pop("RLOD_DATA_DIR", None)
+        else:
+            os.environ["RLOD_DATA_DIR"] = prev
     return RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size,
                           scales=(96,), max_num_gt=8, seed=seed)
 
@@ -85,9 +94,10 @@ def test_device_prefetch_order_and_depth():
 
     out = []
     for v in device_prefetch(range(6), put, depth=2):
-        # by the time item i is yielded, item i+2 must already be put
+        # by the time item i is yielded, item i+2 must already be put —
+        # i.e. puts >= consumed + 2 (a depth-1 pipeline fails this)
         consumed.append(v)
-        assert len(puts) >= min(len(consumed) + 1, 6)
+        assert len(puts) >= min(len(consumed) + 2, 6), (len(puts), consumed)
         out.append(v)
     assert out == [0, 10, 20, 30, 40, 50]
 

@@ -92,9 +92,14 @@ def test_rl_dataset_labels(rl_fixture):
     # a detection with a nonzero offset from gt must have at least one positive
     # action (moving toward the gt raises IoU)
     assert (labels[..., 1] == 1).any()
-    # bbox row: (x1, y1, x2, y2, score, cat, img_id) scaled by resize scale
-    scale = im_info[2]
+    # bbox row: (x1, y1, x2, y2, score, cat, img_id) scaled by resize scale —
+    # coords must live in RESIZED-image space (im_info = (h', w', scale))
+    h_r, w_r, scale = im_info[0], im_info[1], im_info[2]
+    assert scale > 0 and (h_r <= 200 and w_r <= 200)   # transform max_size
     assert (bboxes[:, 2] > bboxes[:, 0]).all()
+    assert (bboxes[:, 0] >= 0).all() and (bboxes[:, 1] >= 0).all()
+    assert (bboxes[:, 2] <= w_r + 1e-3).all(), "x2 beyond resized width"
+    assert (bboxes[:, 3] <= h_r + 1e-3).all(), "y2 beyond resized height"
     assert bboxes[:, 4].max() <= 1.0
 
 

@@ -120,3 +120,45 @@ def test_fused_stem_is_forward_only():
 
     g = jax.grad(loss_stopped)(args[1])
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_fused_paths_actually_engage(monkeypatch):
+    """The drop-in equality tests cannot see the fused path silently NOT
+    engaging (plain == plain passes trivially); count the kernel entry points
+    through the model gate for every fused configuration."""
+    from rlobjectdetection_tpu.models.backbones.resnet import ResNetBase
+    from rlobjectdetection_tpu.ops import layer1_pallas, res_stage_pallas, stem_pallas
+
+    calls = {"stem": 0, "layer1": 0, "stage": 0}
+    real_stem = stem_pallas.fused_stem
+    real_l1 = layer1_pallas.fused_layer1
+    real_stage = res_stage_pallas.fused_res_stage
+
+    def count(key, real):
+        def wrapper(*a, **k):
+            calls[key] += 1
+            return real(*a, **k)
+        return wrapper
+
+    monkeypatch.setattr(stem_pallas, "fused_stem", count("stem", real_stem))
+    monkeypatch.setattr(layer1_pallas, "fused_layer1", count("layer1", real_l1))
+    monkeypatch.setattr(res_stage_pallas, "fused_res_stage",
+                        count("stage", real_stage))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 48, 48, 3).astype(np.float32))
+    model = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=3,
+                       conv1_fused=True, layer1_fused=True, stages_fused=23,
+                       stem_interpret=True)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    model.apply({"params": params}, x)
+    assert calls["stem"] >= 1, "fused stem never invoked"
+    assert calls["layer1"] >= 1, "fused layer1 never invoked"
+    assert calls["stage"] >= 2, "fused layer2+layer3 never invoked"
+
+    # ...and the gates really disable them: CPU backend without interpret
+    calls.update(stem=0, layer1=0, stage=0)
+    gated = ResNetBase(num_layers=50, dtype=jnp.float32, frozen_stages=3,
+                       conv1_fused=True, layer1_fused=True, stages_fused=23)
+    gated.apply({"params": params}, x)
+    assert calls == {"stem": 0, "layer1": 0, "stage": 0}

@@ -33,11 +33,20 @@ def test_accuracy_topk():
     assert abs(top2 - 50.0) < 1e-9      # no extra hits in top-2
 
 
-def test_init_log_rank_format(capsys):
+def test_init_log_rank_format():
     log = init_log("test_logger_xyz")
-    log.info("hello")
-    # rank-0 filter lets the record through; format carries rk0
     assert log.level == logging.INFO
+    # the handler formats records with the rank prefix (rk0 single-process)
+    record = logging.LogRecord("test_logger_xyz", logging.INFO, __file__, 1,
+                               "hello", None, None)
+    assert log.handlers, "init_log must attach a stream handler"
+    formatted = log.handlers[0].format(record)
+    assert formatted.startswith("rk0 ") and formatted.endswith("hello")
+    # the rank filter admits rank 0 (single-process) — and repeat init_log
+    # must not stack handlers/filters
+    assert log.filters and log.filters[0](record)
+    again = init_log("test_logger_xyz")
+    assert len(again.handlers) == 1 and len(again.filters) == 1
 
 
 def test_metrics_writer_noop(tmp_path):
