@@ -1,10 +1,11 @@
 """COCO imdb.
 
-Rebuild of /root/reference/lib/datasets/coco.py: 81-class detection imdb over
-the COCO json annotations (crowd boxes get -1 overlaps, l.132-188), results-json
-writing (l.267-301) and COCOeval-based `evaluate_detections` (l.254-265,303-325)
-— using this package's self-contained COCO API instead of the vendored
-pycocotools.
+Rebuild of /root/reference/lib/datasets/coco.py behavior: 81-class detection
+imdb over the COCO json annotations (crowd boxes get -1 overlaps, l.132-188),
+results-json writing with uuid salting + post-eval cleanup (l.31-32,303-318),
+COCOeval-based `evaluate_detections` (l.254-265) and `competition_mode`
+(l.319-325) — using this package's self-contained COCO API instead of the
+vendored pycocotools.
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import uuid
 
 import numpy as np
 
@@ -26,6 +28,11 @@ class coco(imdb):
         self._year = year
         self._image_set = image_set
         self._data_path = data_path or os.path.join(self._data_root(), "coco")
+        # Results-file hygiene (reference coco.py:31-32): salt the json name so
+        # concurrent evals in one output dir don't clobber each other, and
+        # scrub it after eval. competition_mode(True) turns both off so the
+        # submission file survives under its canonical name.
+        self._eval_opts = {"salt": True, "scrub": True}
         self._view_map = {
             "minival2014": "val2014",
             "valminusminival2014": "val2014",
@@ -60,14 +67,19 @@ class coco(imdb):
     def image_id_at(self, i):
         return self._image_index[i]
 
+    def _stem(self, index):
+        """COCO_<data_name>_<12-digit id> (the 2014-era file-name stem)."""
+        return f"COCO_{self._data_name}_{index:012d}"
+
     def image_path_from_index(self, index):
         # images/<data_name>/COCO_<data_name>_<12-digit id>.jpg (coco.py:99-107)
-        file_name = "COCO_" + self._data_name + "_" + str(index).zfill(12) + ".jpg"
-        image_path = os.path.join(self._data_path, "images", self._data_name, file_name)
+        image_path = os.path.join(
+            self._data_path, "images", self._data_name, self._stem(index) + ".jpg"
+        )
         if not os.path.exists(image_path):
             # 2017-style layout fallback: images/<data_name>/<12-digit id>.jpg
             fallback = os.path.join(
-                self._data_path, "images", self._data_name, str(index).zfill(12) + ".jpg"
+                self._data_path, "images", self._data_name, f"{index:012d}.jpg"
             )
             assert os.path.exists(fallback), (
                 f"image {index} not found under either layout: "
@@ -82,130 +94,113 @@ class coco(imdb):
                 roidb = pickle.load(fid)
             print(f"{self.name} gt roidb loaded from {cache_file}")
             return roidb
-        gt_roidb = [
-            self._load_coco_annotation(index) for index in self._image_index
-        ]
+        gt_roidb = [self._annotation_record(index) for index in self._image_index]
         with open(cache_file, "wb") as fid:
             pickle.dump(gt_roidb, fid, pickle.HIGHEST_PROTOCOL)
         print(f"wrote gt roidb to {cache_file}")
         return gt_roidb
 
-    def _load_coco_annotation(self, index):
-        """annotation → roidb entry; crowd boxes get overlap −1 (coco.py:132-188)."""
-        im_ann = self._COCO.loadImgs(index)[0]
-        width = im_ann["width"]
-        height = im_ann["height"]
+    def _annotation_record(self, index):
+        """One image's annotations → roidb entry.
 
-        annIds = self._COCO.getAnnIds(imgIds=index, iscrowd=None)
-        objs = self._COCO.loadAnns(annIds)
-        valid_objs = []
-        for obj in objs:
-            x1 = np.max((0, obj["bbox"][0]))
-            y1 = np.max((0, obj["bbox"][1]))
-            x2 = np.min((width - 1, x1 + np.max((0, obj["bbox"][2] - 1))))
-            y2 = np.min((height - 1, y1 + np.max((0, obj["bbox"][3] - 1))))
-            if obj["area"] > 0 and x2 >= x1 and y2 >= y1:
-                obj["clean_bbox"] = [x1, y1, x2, y2]
-                valid_objs.append(obj)
-        objs = valid_objs
-        num_objs = len(objs)
+        Matches reference coco.py:132-188 semantics: xywh → inclusive-pixel
+        xyxy with degenerate/zero-area objects dropped, crowd boxes marked
+        with overlap −1 across ALL classes (excluded from training). The
+        sanitization here is vectorized over the object list rather than the
+        reference's per-object clamp chain — same outputs.
+        """
+        meta = self._COCO.loadImgs(index)[0]
+        w, h = meta["width"], meta["height"]
+        anns = self._COCO.loadAnns(self._COCO.getAnnIds(imgIds=index, iscrowd=None))
 
-        boxes = np.zeros((num_objs, 4), dtype=np.uint16)
-        gt_classes = np.zeros((num_objs), dtype=np.int32)
-        overlaps = np.zeros((num_objs, self.num_classes), dtype=np.float32)
-        seg_areas = np.zeros((num_objs), dtype=np.float32)
+        raw = np.asarray([a["bbox"] for a in anns], dtype=np.float64).reshape(-1, 4)
+        area = np.asarray([a["area"] for a in anns], dtype=np.float32)
+        left = np.clip(raw[:, 0], 0.0, None)
+        top = np.clip(raw[:, 1], 0.0, None)
+        right = np.minimum(w - 1.0, left + np.clip(raw[:, 2] - 1.0, 0.0, None))
+        bottom = np.minimum(h - 1.0, top + np.clip(raw[:, 3] - 1.0, 0.0, None))
+        ok = (area > 0) & (right >= left) & (bottom >= top)
 
-        coco_cat_id_to_class_ind = dict(
-            [
-                (self._class_to_coco_cat_id[cls], self._class_to_ind[cls])
-                for cls in self._classes[1:]
-            ]
-        )
-        for ix, obj in enumerate(objs):
-            cls = coco_cat_id_to_class_ind[obj["category_id"]]
-            boxes[ix, :] = obj["clean_bbox"]
-            gt_classes[ix] = cls
-            seg_areas[ix] = obj["area"]
-            if obj.get("iscrowd", 0):
-                overlaps[ix, :] = -1.0
-            else:
-                overlaps[ix, cls] = 1.0
+        cls_of_cat = {cid: self._class_to_ind[name]
+                      for name, cid in self._class_to_coco_cat_id.items()}
+        labels = np.asarray(
+            [cls_of_cat[a["category_id"]] for a in anns], dtype=np.int32
+        ).reshape(-1)
+        crowd = np.asarray(
+            [bool(a.get("iscrowd", 0)) for a in anns], dtype=bool
+        ).reshape(-1)
+
+        boxes = np.stack([left, top, right, bottom], axis=1)[ok].astype(np.uint16)
+        labels = labels[ok]
+        crowd = crowd[ok]
+        n = int(ok.sum())
+        overlaps = np.zeros((n, self.num_classes), dtype=np.float32)
+        overlaps[np.arange(n), labels] = 1.0
+        overlaps[crowd] = -1.0
 
         return {
-            "width": width,
-            "height": height,
+            "width": w,
+            "height": h,
             "boxes": boxes,
-            "gt_classes": gt_classes,
+            "gt_classes": labels,
             "gt_overlaps": overlaps,
             "flipped": False,
-            "seg_areas": seg_areas,
+            "seg_areas": area[ok],
         }
 
     def _get_box_file(self, index):
-        file_name = "COCO_" + self._data_name + "_" + str(index).zfill(12) + ".mat"
-        return os.path.join("boxes", self._data_name, file_name)
+        # Sharded .mat layout for MCG-style proposals: the reference nests
+        # file[:14]/file[:22]/file (coco.py:214-220), e.g.
+        # COCO_val2014_0/COCO_val2014_000000447/COCO_val2014_000000447991.mat
+        name = self._stem(index) + ".mat"
+        return os.path.join(name[:14], name[:22], name)
 
-    def _coco_results_one_category(self, boxes, cat_id):
-        results = []
-        for im_ind, index in enumerate(self.image_index):
-            dets = np.array(boxes[im_ind]).astype(float)
-            if dets.size == 0:
-                continue
-            scores = dets[:, -1]
-            xs = dets[:, 0]
-            ys = dets[:, 1]
-            ws = dets[:, 2] - xs + 1
-            hs = dets[:, 3] - ys + 1
-            results.extend(
-                [
+    def _detections_as_json(self, all_boxes):
+        """all_boxes[class][image] = [n, 5] xyxy+score → COCO result records
+        (xywh, width/height measured in inclusive pixels: +1). Reference
+        coco.py:254-301, restructured as one array pass per (class, image)."""
+        records = []
+        for j in range(1, self.num_classes):
+            name = self.classes[j]
+            print(f"Collecting {name} results ({j}/{self.num_classes - 1})")
+            cat = self._class_to_coco_cat_id[name]
+            for i, img_id in enumerate(self.image_index):
+                arr = np.asarray(all_boxes[j][i], dtype=np.float64)
+                if arr.size == 0:
+                    continue
+                size = arr[:, 2:4] - arr[:, 0:2] + 1.0
+                records.extend(
                     {
-                        "image_id": index,
-                        "category_id": cat_id,
-                        "bbox": [xs[k], ys[k], ws[k], hs[k]],
-                        "score": scores[k],
+                        "image_id": img_id,
+                        "category_id": cat,
+                        "bbox": [row[0], row[1], wh[0], wh[1]],
+                        "score": row[4],
                     }
-                    for k in range(dets.shape[0])
-                ]
-            )
-        return results
+                    for row, wh in zip(arr, size)
+                )
+        return records
 
-    def _write_coco_results_file(self, all_boxes, res_file):
-        results = []
-        for cls_ind, cls in enumerate(self.classes):
-            if cls == "__background__":
-                continue
-            print(
-                f"Collecting {cls} results ({cls_ind}/{self.num_classes - 1})"
-            )
-            coco_cat_id = self._class_to_coco_cat_id[cls]
-            results.extend(
-                self._coco_results_one_category(all_boxes[cls_ind], coco_cat_id)
-            )
-        print(f"Writing results json to {res_file}")
-        with open(res_file, "w") as fid:
-            json.dump(results, fid)
+    @staticmethod
+    def _masked_ap(precision_slab):
+        """Mean of a COCOeval precision slab over its valid (> −1) cells."""
+        valid = precision_slab > -1
+        return float(np.mean(precision_slab[valid])) if valid.any() else -1.0
 
     def _print_detection_eval_metrics(self, coco_eval):
         """Mean + per-category AP over IoU [0.5, 0.95] in the reference's
         print format (coco.py:221-252)."""
-        lo, hi = 0.5, 0.95
-
-        def thr_ind(thr):
-            return int(np.where(np.isclose(coco_eval.params.iouThrs, thr))[0][0])
-
-        ind_lo, ind_hi = thr_ind(lo), thr_ind(hi)
+        thrs = coco_eval.params.iouThrs
+        span = slice(
+            int(np.flatnonzero(np.isclose(thrs, 0.5))[0]),
+            int(np.flatnonzero(np.isclose(thrs, 0.95))[0]) + 1,
+        )
         # precision dims: (iou, recall, cls, area, maxdets); area 0 = all,
         # maxdets 2 = 100
-        precision = coco_eval.eval["precision"][ind_lo:ind_hi + 1, :, :, 0, 2]
-        ap_default = np.mean(precision[precision > -1]) if (precision > -1).any() else -1
-        print(f"~~~~ Mean and per-category AP @ IoU=[{lo:.2f},{hi:.2f}] ~~~~")
-        print(f"{100 * ap_default:.1f}")
-        for cls_ind, cls in enumerate(self.classes):
-            if cls == "__background__":
-                continue
-            p = coco_eval.eval["precision"][ind_lo:ind_hi + 1, :, cls_ind - 1, 0, 2]
-            ap = np.mean(p[p > -1]) if (p > -1).any() else -1
-            print(f"{100 * ap:.1f}")
+        slab = coco_eval.eval["precision"][span, :, :, 0, 2]
+        print("~~~~ Mean and per-category AP @ IoU=[0.50,0.95] ~~~~")
+        print(f"{100 * self._masked_ap(slab):.1f}")
+        for j in range(1, self.num_classes):   # skip __background__
+            print(f"{100 * self._masked_ap(slab[:, :, j - 1]):.1f}")
         print("~~~~ Summary metrics ~~~~")
 
     def _do_detection_eval(self, res_file, output_dir):
@@ -222,13 +217,23 @@ class coco(imdb):
         return stats
 
     def evaluate_detections(self, all_boxes, output_dir):
+        tag = "" if not self._eval_opts["salt"] else f"_{uuid.uuid4()}"
         res_file = os.path.join(
-            output_dir, "detections_" + self._image_set + self._year + "_results.json"
+            output_dir,
+            f"detections_{self._image_set}{self._year}_results{tag}.json",
         )
-        self._write_coco_results_file(all_boxes, res_file)
-        if self._image_set.find("test") == -1:
-            return self._do_detection_eval(res_file, output_dir)
-        return None
+        print(f"Writing results json to {res_file}")
+        with open(res_file, "w") as fid:
+            json.dump(self._detections_as_json(all_boxes), fid)
+        stats = None
+        if "test" not in self._image_set:
+            stats = self._do_detection_eval(res_file, output_dir)
+        if self._eval_opts["scrub"]:
+            os.remove(res_file)
+        return stats
 
     def competition_mode(self, on):
-        pass
+        # reference coco.py:319-325: submission runs keep the canonical,
+        # un-salted results file on disk.
+        self._eval_opts["salt"] = not on
+        self._eval_opts["scrub"] = not on

@@ -80,8 +80,44 @@ def test_coco_full_eval_path(coco_root, tmp_path):
     os.makedirs(out_dir, exist_ok=True)
     stats = db.evaluate_detections(all_boxes, out_dir)
     assert stats is not None and len(stats) == 12
-    # results json was written
-    assert os.path.exists(os.path.join(out_dir, "detections_minival2014_results.json"))
+    # default mode salts the results json name and scrubs it post-eval
+    # (reference coco.py:31-32,303-318) — nothing json-ish survives
+    assert not [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    # but the pickled eval does
+    assert os.path.exists(os.path.join(out_dir, "detection_results.pkl"))
+
+    # competition mode: canonical un-salted filename, kept on disk
+    db.competition_mode(True)
+    stats2 = db.evaluate_detections(all_boxes, out_dir)
+    canonical = os.path.join(out_dir, "detections_minival2014_results.json")
+    assert os.path.exists(canonical)
+    assert np.allclose(stats, stats2)  # salting must not change the metrics
+    db.competition_mode(False)
+
+
+def test_coco_salted_results_do_not_collide(coco_root, tmp_path, monkeypatch):
+    """Two evals into one output dir must not clobber each other's results
+    file mid-eval: the salted names must differ (reference coco.py:306-318)."""
+    from rlobjectdetection_tpu.data.coco import coco
+
+    db = coco("minival", "2014")
+    names = []
+    real_remove = os.remove
+
+    def spy_remove(path):
+        if path.endswith(".json"):
+            names.append(os.path.basename(path))
+        real_remove(path)
+
+    monkeypatch.setattr(os, "remove", spy_remove)
+    empty = [[np.empty((0, 5), np.float32) for _ in range(db.num_images)]
+             for _ in range(db.num_classes)]
+    out_dir = str(tmp_path / "salted")
+    os.makedirs(out_dir, exist_ok=True)
+    db.evaluate_detections(empty, out_dir)
+    db.evaluate_detections(empty, out_dir)
+    assert len(names) == 2 and names[0] != names[1]
+    assert all(n.startswith("detections_minival2014_results_") for n in names)
 
 
 def test_coco_eval_with_gt_detections_is_perfect(coco_root, tmp_path):
