@@ -225,7 +225,7 @@ class COCOeval:
             "dtIgnore": dtIg,
         }
 
-    def _pr_curve(self, scores, matched, det_ignored, n_real_gt, rec_thrs):
+    def _pr_curve(self, matched, det_ignored, n_real_gt, rec_thrs):
         """Precision at the sampled recall points + final recall, for ONE IoU
         threshold's pooled detections (already score-sorted).
 
@@ -248,6 +248,16 @@ class COCOeval:
         return q, final_recall
 
     def accumulate(self, p=None):
+        """Accumulate per-image eval into precision/recall tables.
+
+        Deviation from the reference cocoeval.py: when `p` is narrowed
+        relative to what evaluate() ran (`_paramsEval`), results land at each
+        category/area/maxDet's IN-PLACE index in `p.catIds` etc. (skipped
+        slots stay -1), whereas the reference compacts indices. Standard
+        usage (p is _paramsEval) is identical, and summarize()'s
+        mean-over->-1 is unaffected either way; the in-place layout keeps
+        `eval['precision'][..., k, a, m]` addressable by p's own indices.
+        """
         print("Accumulating evaluation results...")
         tic = time.time()
         assert self.evalImgs, "Please run evaluate() first"
@@ -299,8 +309,7 @@ class COCOeval:
                         axis=1)[:, order]
                     for t in range(T):
                         q, rc_last = self._pr_curve(
-                            scores[order], dtm[t] > 0, dtIg[t] > 0,
-                            n_real_gt, p.recThrs)
+                            dtm[t] > 0, dtIg[t] > 0, n_real_gt, p.recThrs)
                         precision[t, :, k, a, m] = q
                         recall[t, k, a, m] = rc_last
         self.eval = {

@@ -82,8 +82,11 @@ def postprocess_detections(
 
     flat_scores = jnp.where(sv, ss, -1.0).reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat_scores, max_per_image)
-    # score_thresh >= 0 in all callers, so this also drops the -1.0
-    # invalid-lane sentinel
+    # a non-negative threshold also drops the -1.0 invalid-lane sentinel;
+    # enforce it (trace-time, free) rather than rely on callers
+    assert score_thresh >= 0.0, (
+        f"score_thresh must be >= 0 (the -1.0 invalid-lane sentinel relies "
+        f"on it), got {score_thresh}")
     out_valid = top_scores > score_thresh
     cls_of = top_idx // max_per_image + 1
     out_boxes = sb.reshape(-1, 4)[top_idx]

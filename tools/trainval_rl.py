@@ -241,7 +241,7 @@ def main():
                     # per-call latency is the axon bottleneck, CLAUDE.md)
                     losses.update(float(loss))
                     log.info(
-                        f"[{epoch}][{it}/{len(loader)}] loss {losses.avg:.4f} "
+                        f"[{epoch}][{it}/{len(loader)}] loss(sampled) {losses.avg:.4f} "
                         f"(noweight {float(noweight):.4f}) "
                         f"batch {batch_time.avg:.3f}s data {data_time.avg:.3f}s"
                     )
