@@ -121,8 +121,9 @@ class Config:
     REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
     ALIGN_IMPL: str = "autodiff"     # autodiff | cvjp (sorted-scatter backward; compiles faster)
     CONV1_S2D: bool = False          # space-to-depth stem (identical numerics; measured slower on v5e)
-    CONV1_FUSED: bool = False        # Pallas fused stem (conv1+bn+relu+maxpool); TPU single-device only
+    CONV1_FUSED: bool = False        # Pallas fused stem (conv1+bn+relu+maxpool); TPU backend (any device count)
     LAYER1_FUSED: bool = False       # Pallas fused layer1 (3 bottlenecks); needs CONV1_FUSED + FIXED_BLOCKS>=1
+    STEM_INTERPRET: bool = False     # run the fused Pallas kernels in interpret mode (CPU tests/dryruns)
     STAGE_FUSED: int = 0             # Pallas fused frozen stages, digit-coded: 2 = layer2, 3 = layer3,
                                      # 23 = both (forward-only: needs FIXED_BLOCKS >= stage in training;
                                      # eval fuses regardless)

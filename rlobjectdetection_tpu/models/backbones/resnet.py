@@ -19,11 +19,23 @@ dtype is configurable (bfloat16 by default) with fp32 params.
 
 from __future__ import annotations
 
+import functools
+import logging
 from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
+
+
+@functools.lru_cache(maxsize=None)
+def _log_fusion_once(stem: bool, l1: bool, stages: int, active: tuple) -> None:
+    """Trace-time notice of which Pallas fusions actually engage — STAGE_FUSED
+    is digit-coded (2/3/23), so a stale value from the old encoding would
+    otherwise fuse a different stage silently (ADVICE r2)."""
+    logging.getLogger(__name__).info(
+        "backbone fusion: stem=%s layer1=%s stages_fused=%d -> active stages %s",
+        stem, l1, stages, list(active) or "none")
 
 LAYER_SPECS = {
     18: (2, 2, 2, 2),
@@ -355,10 +367,10 @@ class ResNetBase(nn.Module):
 
         specs = LAYER_SPECS[self.num_layers]
         layer = nn.remat(ResLayer) if self.remat else ResLayer
-        # single-device TPU only: the pallas_calls have no GSPMD partitioning
-        # rule, so multi-device meshes must take the plain XLA path below
-        pallas_ok = self.stem_interpret or (
-            jax.default_backend() == "tpu" and len(jax.devices()) == 1)
+        # TPU backend (any device count — multi-device meshes shard the batch
+        # dim through the ops/batch_partition.py partitioning rule) or
+        # interpret mode for CPU tests
+        pallas_ok = self.stem_interpret or jax.default_backend() == "tpu"
         fuse_stem = self.conv1_fused and pallas_ok
         fuse_l1 = self.layer1_fused and fuse_stem and \
             (self.frozen_stages >= 1 or fwd_only)
@@ -368,6 +380,9 @@ class ResNetBase(nn.Module):
             f"{self.stages_fused!r}")
         fuse_stage = lambda n: (str(n) in str(self.stages_fused) and pallas_ok
                                 and (self.frozen_stages >= n or fwd_only))
+        if self.conv1_fused or self.stages_fused:
+            _log_fusion_once(fuse_stem, fuse_l1, self.stages_fused,
+                             tuple(n for n in (2, 3) if fuse_stage(n)))
         if fuse_stem:
             from rlobjectdetection_tpu.ops.stem_pallas import fused_stem
 

@@ -85,6 +85,7 @@ class FasterRCNN(nn.Module):
                                    conv1_fused=self.cfg.CONV1_FUSED,
                                    layer1_fused=self.cfg.LAYER1_FUSED,
                                    stages_fused=self.cfg.STAGE_FUSED,
+                                   stem_interpret=self.cfg.STEM_INTERPRET,
                                    frozen_stages=self.cfg.RESNET.FIXED_BLOCKS)
             self.head = ResNetHead(num_layers=layers, dtype=dtype)
             self.dout_base = 1024

@@ -286,13 +286,21 @@ def _fused_layer1_impl(static, x_cw, *packed):
     return out
 
 
+def _fused_layer1_dispatch(static, x_cw, *packed):
+    # batch-dim partitioning rule for multi-device meshes (batch_partition.py)
+    from rlobjectdetection_tpu.ops.batch_partition import batch_partitioned_call
+
+    return batch_partitioned_call(_fused_layer1_impl, static, x_cw, *packed,
+                                  out_rank=4)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_layer1(static, x_cw, *packed):
-    return _fused_layer1_impl(static, x_cw, *packed)
+    return _fused_layer1_dispatch(static, x_cw, *packed)
 
 
 def _fused_layer1_fwd(static, x_cw, *packed):
-    return _fused_layer1_impl(static, x_cw, *packed), None
+    return _fused_layer1_dispatch(static, x_cw, *packed), None
 
 
 def _fused_layer1_bwd(static, residuals, g):

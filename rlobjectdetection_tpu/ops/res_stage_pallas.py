@@ -252,13 +252,21 @@ def _fused_res_stage_impl(static, x, *packed):
     return out[:, :p, :].reshape(b, ho, wo, cmax)
 
 
+def _fused_res_stage_dispatch(static, x, *packed):
+    # batch-dim partitioning rule for multi-device meshes (batch_partition.py)
+    from rlobjectdetection_tpu.ops.batch_partition import batch_partitioned_call
+
+    return batch_partitioned_call(_fused_res_stage_impl, static, x, *packed,
+                                  out_rank=4)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_res_stage(static, x, *packed):
-    return _fused_res_stage_impl(static, x, *packed)
+    return _fused_res_stage_dispatch(static, x, *packed)
 
 
 def _fused_res_stage_fwd(static, x, *packed):
-    return _fused_res_stage_impl(static, x, *packed), None
+    return _fused_res_stage_dispatch(static, x, *packed), None
 
 
 def _fused_res_stage_bwd(static, residuals, g):

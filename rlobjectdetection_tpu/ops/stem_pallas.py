@@ -264,13 +264,23 @@ def _fused_stem_impl(static, x, kernel, scale, bias, mean, var):
     return out[:, :phh]
 
 
+def _fused_stem_dispatch(static, x, kernel, scale, bias, mean, var):
+    # multi-device worlds go through the batch-dim partitioning rule so DP
+    # meshes keep the fused kernel (ops/batch_partition.py); single-device
+    # processes call the impl directly
+    from rlobjectdetection_tpu.ops.batch_partition import batch_partitioned_call
+
+    return batch_partitioned_call(_fused_stem_impl, static, x, kernel,
+                                  scale, bias, mean, var, out_rank=4)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_stem(static, x, kernel, scale, bias, mean, var):
-    return _fused_stem_impl(static, x, kernel, scale, bias, mean, var)
+    return _fused_stem_dispatch(static, x, kernel, scale, bias, mean, var)
 
 
 def _fused_stem_fwd(static, x, kernel, scale, bias, mean, var):
-    return _fused_stem_impl(static, x, kernel, scale, bias, mean, var), None
+    return _fused_stem_dispatch(static, x, kernel, scale, bias, mean, var), None
 
 
 def _fused_stem_bwd(static, residuals, g):

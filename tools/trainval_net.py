@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--pooling_mode", default=None)
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of the first N steps into logs/trace")
+    p.add_argument("--packed_input", default=None,
+                   help="directory of pre-packed input blobs (data/packed.py); "
+                        "built on first use — batch assembly becomes an mmap "
+                        "read, so ONE host core can feed the chip")
     p.add_argument("--nw", dest="num_workers", default=4, type=int,
                    help="decode worker threads (reference --nw, trainval_net.py:88); 0 = synchronous")
     p.add_argument("--skip_nonfinite", action="store_true",
@@ -112,12 +116,11 @@ def main():
         cfg = cfg_update(cfg, {"POOLING_MODE": args.pooling_mode})
     np.random.seed(cfg.RNG_SEED)
 
-    # Pallas fused stem (ops/stem_pallas.py): auto-enable on a single-device
-    # TPU run — it has no GSPMD partitioning rule, so multi-device meshes keep
-    # the XLA stem. Explicit `--set CONV1_FUSED ...` wins.
+    # Pallas fused stem (ops/stem_pallas.py): auto-enable on any TPU run —
+    # multi-device meshes shard its batch dim through the GSPMD partitioning
+    # rule in ops/batch_partition.py. Explicit `--set CONV1_FUSED ...` wins.
     if (not any("CONV1_FUSED" in str(s) for s in (args.set_cfgs or []))
-            and jax.default_backend() == "tpu" and jax.process_count() == 1
-            and math.gcd(args.batch_size, len(jax.devices())) == 1):
+            and jax.default_backend() == "tpu"):
         cfg = cfg_update(cfg, {"CONV1_FUSED": True})
     # Fused layer1 rides the same gate (it consumes the fused stem's CW
     # output and needs the FIXED_BLOCKS >= 1 frozen-layer1 contract).
@@ -132,11 +135,19 @@ def main():
     )
     log.info(f"{len(roidb)} roidb entries")
 
-    loader = RoiBatchLoader(
-        roidb, ratio_list, ratio_index, args.batch_size,
-        scales=cfg.TRAIN.SCALES, max_num_gt=cfg.MAX_NUM_GT_BOXES,
-        seed=cfg.RNG_SEED,
-    )
+    loader_kw = dict(scales=cfg.TRAIN.SCALES, max_num_gt=cfg.MAX_NUM_GT_BOXES,
+                     seed=cfg.RNG_SEED)
+    if args.packed_input:
+        from rlobjectdetection_tpu.data.packed import (PackedRoiBatchLoader,
+                                                       pack_roidb)
+
+        pack_roidb(roidb, cfg.TRAIN.SCALES, args.packed_input)  # incremental
+        loader = PackedRoiBatchLoader(
+            roidb, ratio_list, ratio_index, args.batch_size,
+            pack_root=args.packed_input, **loader_kw)
+    else:
+        loader = RoiBatchLoader(
+            roidb, ratio_list, ratio_index, args.batch_size, **loader_kw)
     iters_per_epoch = len(loader)
 
     backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
