@@ -133,9 +133,16 @@ class RoiBatchLoader:
     def __len__(self):
         return self.num_batches
 
+    def _image_gt(self, entry, rng):
+        """Decode + flip + scale-pick + BGR/mean/resize for one entry.
+        Override point for pre-packed input sources (data/packed.py) — any
+        override must consume the SAME rng draws so downstream randomness
+        (gt shuffle, crop windows) stays bit-aligned with the live path."""
+        return load_entry_image_gt(entry, self.scales, rng)
+
     def _load_one(self, index: int, target_ratio: float, rng):
         entry = self.roidb[index]
-        im, gt_boxes, im_scale = load_entry_image_gt(entry, self.scales, rng)
+        im, gt_boxes, im_scale = self._image_gt(entry, rng)
         rng.shuffle(gt_boxes)
 
         if self.training and entry.get("need_crop", 0):

@@ -79,11 +79,17 @@ def load_entry_image_gt(entry, scales, rng):
         im = im[:, ::-1, :]
     scale = scales[rng.randint(0, len(scales))]
     im, im_scale = prep_im_for_blob(im, PIXEL_MEANS_BGR, scale)
+    return im, gt_from_entry(entry, im_scale), im_scale
+
+
+def gt_from_entry(entry, im_scale: float) -> np.ndarray:
+    """gt boxes [G, 5] = all non-background entries scaled to image coords
+    (minibatch.py:44-46; crowd boxes included, like USE_ALL_GT upstream)."""
     gt_inds = np.where(entry["gt_classes"] != 0)[0]
     gt_boxes = np.zeros((len(gt_inds), 5), dtype=np.float32)
     gt_boxes[:, :4] = entry["boxes"][gt_inds, :].astype(np.float32) * im_scale
     gt_boxes[:, 4] = entry["gt_classes"][gt_inds]
-    return im, gt_boxes, im_scale
+    return gt_boxes
 
 
 def get_minibatch(roidb_entries, scales, multiple: int = 32,

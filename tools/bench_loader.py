@@ -73,19 +73,38 @@ def main():
         return RoiBatchLoader(roidb, ratios[order], order, batch_size=bs,
                               scales=(800,), max_num_gt=20)
 
+    # pre-packed pipeline (data/packed.py): assembly = mmap read + canvas copy
+    from rlobjectdetection_tpu.data.packed import PackedRoiBatchLoader, pack_roidb
+
+    pack_root = "/tmp/loader_bench_pack"
+    t0 = time.perf_counter()
+    pack_roidb(roidb, (800,), pack_root, verbose=False)
+    print(f"pack build: {time.perf_counter() - t0:.1f}s "
+          f"(one-time, offline)", flush=True)
+
+    def fresh_packed():
+        return PackedRoiBatchLoader(roidb, ratios[order], order, batch_size=bs,
+                                    scales=(800,), max_num_gt=20,
+                                    pack_root=pack_root)
+
     # warm the page cache so every config reads hot files
     for _ in fresh():
+        pass
+    for _ in fresh_packed():
         pass
 
     rows = []
     for label, wrap in [("serial", lambda l: l),
+                       ("packed", lambda l: l, ),
+                       ("packed async nw=1", lambda l: AsyncLoader(l, 1)),
                        ("async nw=1", lambda l: AsyncLoader(l, 1)),
                        ("async nw=4", lambda l: AsyncLoader(l, 4)),
                        ("async nw=8", lambda l: AsyncLoader(l, 8))]:
+        mk = fresh_packed if label.startswith("packed") else fresh
         t0 = time.perf_counter()
         count = 0
         for _ in range(3):
-            for batch in wrap(fresh()):
+            for batch in wrap(mk()):
                 count += batch["data"].shape[0]
         dt = time.perf_counter() - t0
         rows.append((label, count / dt))
