@@ -104,6 +104,9 @@ def main():
     # 800×1216, COCO anchor scales.
     # first numeric arg is the batch size (flags like --rl/--infer may precede it)
     batch_size = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8)  # 8 = measured optimum (DESIGN.md batch sweep)
+    if "--check-pallas" in sys.argv:
+        _check_pallas(next((int(a) for a in sys.argv[1:] if a.isdigit()), 1))
+        return
     remat = "--remat" in sys.argv
     cfg = Config(
         ANCHOR_SCALES=(4, 8, 16, 32),
@@ -172,6 +175,83 @@ def main():
     _measure_and_report(f"train_images_per_sec_per_chip_{tag}_coco800",
                         run_once, lambda m: float(m["loss"]), batch_size,
                         step_flops=step_flops)
+
+
+def _check_pallas(batch_size):
+    """On-chip numerics assertion for the fused Pallas kernels (VERDICT r2
+    item 4): interpret-mode tests pin exact parity of the kernel MATH, but
+    cannot catch a Mosaic lowering miscompile on real hardware. This runs the
+    fused stem and fused layer1 against the XLA compositions on the SAME
+    params/input at bench shapes ON THE CHIP (bf16, the production dtype) and
+    asserts closeness; max deltas are recorded in DESIGN.md.
+
+    Run: python bench.py --check-pallas [bs]   (TPU backend required)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rlobjectdetection_tpu.models.backbones.resnet import (
+        LAYER_SPECS, ResLayer, ResNetBase, ceil_max_pool)
+    from rlobjectdetection_tpu.ops.layer1_pallas import fused_layer1
+    from rlobjectdetection_tpu.ops.stem_pallas import fused_stem
+
+    assert jax.default_backend() == "tpu", "--check-pallas needs the TPU"
+    h, w = 800, 1216
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32) * 10)
+    plain = ResNetBase(num_layers=101, dtype=jnp.bfloat16)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(0), x)["params"]
+
+    def xla_stem(p, x):
+        y = lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), p["conv1"]["kernel"].astype(jnp.bfloat16),
+            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bn = p["bn1"]
+        inv = lax.rsqrt(bn["var"] + 1e-5) * bn["scale"]
+        y = y * inv + (bn["bias"] - bn["mean"] * inv)
+        return ceil_max_pool(jnp.maximum(y, 0.0)).astype(jnp.bfloat16)
+
+    def pallas_stem(p, x):
+        bn = p["bn1"]
+        return fused_stem(x, p["conv1"]["kernel"], bn["scale"], bn["bias"],
+                          bn["mean"], bn["var"])
+
+    def xla_l1(p, x):
+        stem = xla_stem(p, x)
+        return ResLayer(64, LAYER_SPECS[101][0], 1, jnp.bfloat16).apply(
+            {"params": p["layer1"]}, stem)
+
+    def pallas_l1(p, x):
+        bn = p["bn1"]
+        cw = fused_stem(x, p["conv1"]["kernel"], bn["scale"], bn["bias"],
+                        bn["mean"], bn["var"], cw_out=True)
+        return fused_layer1(cw, p["layer1"])
+
+    def full(model):
+        return lambda p, x: model.apply({"params": p}, x)
+
+    fused_model = ResNetBase(num_layers=101, dtype=jnp.bfloat16,
+                             conv1_fused=True, layer1_fused=True)
+
+    report = {"metric": "pallas_onchip_parity", "batch": batch_size}
+    ok = True
+    for name, ref_fn, got_fn, tol in (
+            ("stem", xla_stem, pallas_stem, 0.05),
+            ("layer1", xla_l1, pallas_l1, 0.08),
+            ("base_c4", full(plain), full(fused_model), 0.25)):
+        ref = np.asarray(jax.jit(ref_fn)(params, x), dtype=np.float32)
+        got = np.asarray(jax.jit(got_fn)(params, x), dtype=np.float32)
+        scale = np.abs(ref).max() + 1e-6
+        max_rel = float(np.abs(got - ref).max() / scale)
+        mean_rel = float(np.abs(got - ref).mean() / scale)
+        report[f"{name}_max_rel"] = round(max_rel, 6)
+        report[f"{name}_mean_rel"] = round(mean_rel, 6)
+        ok &= max_rel < tol
+    report["ok"] = ok
+    print(json.dumps(report))
+    assert ok, f"on-chip Pallas parity FAILED: {report}"
 
 
 def make_rl_step(batch_size, h, w, n_boxes=64, fused_stem=True,
