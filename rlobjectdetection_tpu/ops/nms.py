@@ -35,6 +35,41 @@ def _pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def nms_small_mask(boxes: jnp.ndarray, valid: jnp.ndarray,
+                   iou_threshold: float) -> jnp.ndarray:
+    """Greedy NMS keep-mask for score-sorted boxes, small-N flavor: ONE [N, N]
+    IoU→adjacency pass + a Jacobi fixpoint on the strictly-lower-triangular
+    "suppresses" relation (identical argument to the tiled version's
+    within-tile resolution: the relation is a DAG in score order, so the
+    iteration converges exactly in ≤ suppression-chain-depth steps, unique
+    fixpoint = the sequential greedy result).
+
+    vs the tiled scan at per-class test-NMS shapes (N = 300 padded to 512,
+    2 tiles): no padding to a tile multiple, one adjacency materialization
+    ([lanes, N, N] pred) instead of per-tile [lanes, TILE, N] float chains,
+    and a single while instead of scan(tile)×while(tile) — the B×C vmapped
+    per-class problem is bandwidth-bound on those intermediates (bs8 trace,
+    DESIGN.md "Batched serving")."""
+    n = boxes.shape[0]
+    iou = bbox_overlaps(boxes, boxes)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    adj = (col < row) & (iou > iou_threshold) & valid[None, :]
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    def body(state):
+        sup, _, it = state
+        new = jnp.any(adj & ~sup[None, :], axis=1)
+        return new, jnp.any(new != sup), it + 1
+
+    sup0 = jnp.any(adj, axis=1)
+    sup, _, _ = jax.lax.while_loop(cond, body, (sup0, jnp.array(True), 0))
+    return valid & ~sup
+
+
 def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
                     tile_size: int = 256, max_keep: int | None = None) -> jnp.ndarray:
     """Greedy NMS keep-mask for boxes already sorted by descending score.
@@ -138,8 +173,13 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order = jnp.argsort(-skey)
     sboxes = jnp.take(boxes, order, axis=0)
     svalid = jnp.take(valid, order, axis=0)
-    keep = nms_sorted_mask(sboxes, svalid, iou_threshold, tile_size=tile_size,
-                           max_keep=max_keep)
+    if n <= 2 * tile_size:
+        # small problems (per-class test NMS: N=300) skip the tile machinery
+        # entirely — identical keep set, ~half the materialized intermediates
+        keep = nms_small_mask(sboxes, svalid, iou_threshold)
+    else:
+        keep = nms_sorted_mask(sboxes, svalid, iou_threshold,
+                               tile_size=tile_size, max_keep=max_keep)
     return order, keep
 
 

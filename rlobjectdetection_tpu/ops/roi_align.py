@@ -65,15 +65,21 @@ def roi_align_impl(features, rois, ah, aw, spatial_scale):
     g_dl = jnp.take(flat, (idx_ul + w).reshape(-1), axis=0).reshape(r, ah, aw, c)
     g_dr = jnp.take(flat, (idx_ul + w + 1).reshape(-1), axis=0).reshape(r, ah, aw, c)
 
+    # interpolate IN the feature dtype: the 4 corner weights are computed in
+    # f32 and cast once ([R, AH, AW, 1] — tiny), instead of promoting the 4
+    # gathered [R, AH, AW, C] tensors to f32, which the bs8 trace showed as
+    # 4 × 630 MB convert fusions (5.8 ms of the eval step; the same class of
+    # f32-cast-around-a-gather that cost the RL bench 11%). bf16 weight
+    # rounding matches the opt-in Pallas align's documented tolerance.
+    dt = features.dtype
     hr = h_ratio[:, :, None, None]
     wr = w_ratio[:, None, :, None]
-    out = (
-        g_ul * (1.0 - hr) * (1.0 - wr)
-        + g_ur * (1.0 - hr) * wr
-        + g_dl * hr * (1.0 - wr)
-        + g_dr * hr * wr
-    )
-    return jnp.where(inside[..., None], out, 0.0).astype(features.dtype)
+    w_ul = ((1.0 - hr) * (1.0 - wr)).astype(dt)
+    w_ur = ((1.0 - hr) * wr).astype(dt)
+    w_dl = (hr * (1.0 - wr)).astype(dt)
+    w_dr = (hr * wr).astype(dt)
+    out = g_ul * w_ul + g_ur * w_ur + g_dl * w_dl + g_dr * w_dr
+    return jnp.where(inside[..., None], out, jnp.zeros((), dt))
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_height", "aligned_width", "spatial_scale"))

@@ -147,3 +147,26 @@ def test_nms_max_keep_early_exit_exact(rng):
     vm = jax.vmap(lambda bb, ss: nms_select(bb, ss, 0.5, max_out=32))
     vb, vs, vv = vm(jnp.asarray(b_boxes), jnp.asarray(b_scores))
     np.testing.assert_allclose(np.asarray(vb)[0], np.asarray(sel_boxes), rtol=1e-6)
+
+
+def test_nms_small_mask_equals_tiled_and_oracle(rng):
+    """The small-N full-matrix path (nms_small_mask — what nms() dispatches to
+    for n <= 2*tile_size, e.g. the per-class test NMS) must produce the exact
+    tiled/oracle keep set, including under validity masks and dense clusters."""
+    from rlobjectdetection_tpu.ops.nms import nms_small_mask
+
+    for n, size, thresh in ((300, 40.0, 0.3), (130, 15.0, 0.5), (64, 8.0, 0.7)):
+        boxes, scores = _rand_dets(rng, n, size=size)
+        order = np.argsort(-scores)
+        sboxes = boxes[order]
+        valid = rng.rand(n) > 0.2
+        svalid = valid[order]
+        small = np.asarray(nms_small_mask(jnp.asarray(sboxes),
+                                          jnp.asarray(svalid), thresh))
+        tiled = np.asarray(nms_sorted_mask(jnp.asarray(sboxes),
+                                           jnp.asarray(svalid), thresh,
+                                           tile_size=32))
+        np.testing.assert_array_equal(small, tiled)
+        oracle = np_greedy_nms(sboxes[svalid], scores[order][svalid], thresh)
+        np.testing.assert_array_equal(np.where(small[svalid])[0],
+                                      np.sort(oracle))
