@@ -51,19 +51,45 @@ def nms_small_mask(boxes: jnp.ndarray, valid: jnp.ndarray,
     per-class problem is bandwidth-bound on those intermediates (bs8 trace,
     DESIGN.md "Batched serving")."""
     n = boxes.shape[0]
-    iou = bbox_overlaps(boxes, boxes)
+    # adjacency without the IoU divide: iou > t  ⟺  inter > t·union (union is
+    # always positive under the +1 convention), so the whole coordinate→bool
+    # chain fuses into one elementwise kernel writing only the [N, N] pred —
+    # the divide variant cost a separate f32 materialization (bs8 trace).
+    x1, y1, x2, y2 = (boxes[:, k] for k in range(4))
+    iw = jnp.maximum(
+        jnp.minimum(x2[:, None], x2[None, :])
+        - jnp.maximum(x1[:, None], x1[None, :]) + 1.0, 0.0)
+    ih = jnp.maximum(
+        jnp.minimum(y2[:, None], y2[None, :])
+        - jnp.maximum(y1[:, None], y1[None, :]) + 1.0, 0.0)
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    inter = iw * ih
+    union = area[:, None] + area[None, :] - inter
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    adj = (col < row) & (iou > iou_threshold) & valid[None, :]
+    adj = (col < row) & (inter > iou_threshold * union) & valid[None, :]
 
+    def jacobi(sup):
+        return jnp.any(adj & ~sup[None, :], axis=1)
+
+    # Each while iteration applies FOUR Jacobi updates: the body work is tiny
+    # ([N, N] bool AND+reduce, ~75 µs at the 640-lane vmapped eval shape) but
+    # per-iteration while overhead measured ~4-5× the body (bs8 trace:
+    # while.53 9.6 ms vs and_reduce body 1.8 ms at ~24 iterations/step), so
+    # unrolling divides the dominant cost by 4. Exactness: convergence is
+    # checked on the LAST pair inside the group — any(F(s) != s) == False is
+    # literally the fixpoint definition, and extra applications past the
+    # fixpoint are no-ops.
     def cond(state):
         _, changed, it = state
         return changed & (it < n)
 
     def body(state):
         sup, _, it = state
-        new = jnp.any(adj & ~sup[None, :], axis=1)
-        return new, jnp.any(new != sup), it + 1
+        for _ in range(3):
+            sup = jacobi(sup)
+        new = jacobi(sup)
+        return new, jnp.any(new != sup), it + 4
 
     sup0 = jnp.any(adj, axis=1)
     sup, _, _ = jax.lax.while_loop(cond, body, (sup0, jnp.array(True), 0))
@@ -200,17 +226,19 @@ def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     """
     order, keep = nms(boxes, scores, iou_threshold, valid=valid,
                       tile_size=tile_size, impl=impl, max_keep=max_out)
-    sscores = jnp.take(scores, order)
-    masked = jnp.where(keep, sscores, NEG_INF)
-    # clamp: small inputs (e.g. low-res images) can have fewer candidates than
-    # the requested post-NMS count; pad the outputs back up to max_out
-    k_eff = min(max_out, masked.shape[0])
-    top_scores, top_idx = jax.lax.top_k(masked, k_eff)
-    if k_eff < max_out:
-        top_scores = jnp.pad(top_scores, (0, max_out - k_eff),
-                             constant_values=NEG_INF)
-        top_idx = jnp.pad(top_idx, (0, max_out - k_eff))
-    sel_valid = top_scores > NEG_INF / 2
+    # Survivors are already in score order (keep is a mask over the sorted
+    # array), so "top max_out survivors" is a compaction, not a sort: the
+    # m-th output is the first index where cumsum(keep) reaches m+1. The
+    # monotone-row argmax fuses to one compare+reduce — replacing a
+    # lax.top_k whose sort network dominated the vmapped per-class eval
+    # lanes (640 × top_k(300→100)) and the RPN proposal tail (bs8 trace).
+    csum = jnp.cumsum(keep.astype(jnp.int32))
+    m = jnp.arange(max_out, dtype=jnp.int32)
+    ge = csum[None, :] >= (m[:, None] + 1)           # [max_out, N], monotone rows
+    top_idx = jnp.argmax(ge, axis=1).astype(jnp.int32)
+    # slots beyond the kept count (incl. inputs with fewer than max_out
+    # candidates) are invalid and zero-padded, as before
+    sel_valid = m < csum[-1]
     sel_in_sorted = jnp.take(order, top_idx)
     sel_boxes = jnp.take(boxes, sel_in_sorted, axis=0)
     sel_boxes = jnp.where(sel_valid[:, None], sel_boxes, 0.0)
