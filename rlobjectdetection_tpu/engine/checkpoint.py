@@ -67,8 +67,18 @@ def save_checkpoint(path: str, state, *, session: int = 1, epoch: int = 0,
             "class_agnostic": class_agnostic,
             **(extra or {}),
         }
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+    if jax.process_count() > 1:
+        # orbax's save barrier releases every process BEFORE process 0 writes
+        # the sidecar above — a rank!=0 process that proceeds straight to
+        # load_checkpoint can observe the orbax tree without meta.json. Hold
+        # save_checkpoint's return until the sidecar exists everywhere.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("save_checkpoint:meta")
     return path
 
 
