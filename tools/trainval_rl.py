@@ -45,6 +45,9 @@ def parse_args():
                    help="threads for the weight statistic (reference used 32 processes)")
     p.add_argument("--layers", default=101, type=int,
                    help="policy-net ResNet depth (reference fixes 101)")
+    p.add_argument("--lr", default=None, type=float,
+                   help="override RLConfig.learning_rate (reference reads "
+                        "config.learning_rate, trainval_net.py:107-112)")
     return p.parse_args()
 
 
@@ -72,6 +75,8 @@ def main():
         object.__setattr__(cfg, f"{phase}_dt_file", args.dt_file)
     if args.data_dir:
         object.__setattr__(cfg, f"{phase}_data_dir", args.data_dir)
+    if args.lr is not None:
+        object.__setattr__(cfg, "learning_rate", args.lr)
     save_dir = args.save_dir or cfg.save_dir
     os.makedirs(save_dir, exist_ok=True)
 
