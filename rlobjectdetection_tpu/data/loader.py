@@ -119,7 +119,9 @@ class RoiBatchLoader:
         self.max_num_gt = max_num_gt
         self.pad_multiple = pad_multiple
         self.training = training
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self._epoch = 0  # next batch_plan()'s epoch stream (see set_epoch)
         self.batch_ratios = compute_batch_ratios(ratio_list, batch_size)
         # training drops the len % batch_size tail each epoch (drop_last): the
         # reference sampler emits those as one short leftover batch
@@ -220,14 +222,30 @@ class RoiBatchLoader:
             data=blob, im_info=im_info, gt_boxes=gt_pad, num_boxes=num
         )
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT batch_plan() to epoch's stream (DistributedSampler
+        idiom): plans are a pure function of (loader seed, epoch), so a
+        resumed run replays exactly the batch order the uninterrupted run
+        would have used. The reference's sampler re-permutes from one global
+        torch stream (RCNN_bases/trainval_net.py:123-146), so its resumed
+        runs restart the permutation sequence — repaired by spec here
+        (deterministic resume), consistent with SURVEY §2.7 policy."""
+        self._epoch = int(epoch)
+
     def batch_plan(self):
         """One epoch's worth of (indices, target_ratio, batch_seed) descriptors.
 
         Deriving a fresh RandomState per batch (rather than threading one
         sequential stream through every decode) makes batches independent —
         the prerequisite for the async multi-worker pipeline (data/prefetch.py)
-        producing bit-identical batches in any completion order.
+        producing bit-identical batches in any completion order. The plan rng
+        itself is keyed on (seed, epoch) — not a long-lived stream — so every
+        host and every resumed process derives the identical epoch plan.
         """
+        ep_rng = np.random.RandomState(
+            np.random.SeedSequence(
+                (int(self.seed), int(self._epoch))).generate_state(4))
+        self._epoch += 1
         n = len(self.roidb)
         plan = []
         if self.training:
@@ -238,8 +256,8 @@ class RoiBatchLoader:
             # per-epoch offset — otherwise the dropped tail is permanently the
             # same widest-aspect images
             tail = n - self.num_batches * self.batch_size
-            off = int(self.rng.randint(0, tail + 1)) if tail else 0
-            starts = self.rng.permutation(self.num_batches) * self.batch_size + off
+            off = int(ep_rng.randint(0, tail + 1)) if tail else 0
+            starts = ep_rng.permutation(self.num_batches) * self.batch_size + off
             for s in starts:
                 idxs = [int(self.ratio_index[i]) for i in range(s, s + self.batch_size)]
                 # per-block target ratio, the compute_batch_ratios rule on the
@@ -248,11 +266,11 @@ class RoiBatchLoader:
                 rr = self.ratio_list[s + self.batch_size - 1]
                 target = rl if rr < 1 else (rr if rl > 1 else 1.0)
                 plan.append((idxs, float(target),
-                             int(self.rng.randint(0, 2 ** 31))))
+                             int(ep_rng.randint(0, 2 ** 31))))
         else:
             for s in range(0, n, self.batch_size):
                 idxs = list(range(s, min(s + self.batch_size, n)))
-                plan.append((idxs, 1.0, int(self.rng.randint(0, 2 ** 31))))
+                plan.append((idxs, 1.0, int(ep_rng.randint(0, 2 ** 31))))
         return plan
 
     def assemble_job(self, job) -> DetectionBatch:

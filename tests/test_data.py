@@ -352,3 +352,38 @@ def test_host_shard_loader_and_canvas_predictor(tmp_path):
         for k in ("data", "im_info", "gt_boxes", "num_boxes"):
             np.testing.assert_array_equal(fb[k][:2], lb[k], err_msg=k)
             np.testing.assert_array_equal(fb[k][2:], rb[k], err_msg=k)
+
+
+def test_epoch_keyed_plan_resume_determinism():
+    """batch_plan is a pure function of (loader seed, epoch): a FRESH loader
+    pinned with set_epoch(e) reproduces epoch e's plan exactly, regardless of
+    what any prior process consumed — the property trainval_net's --r resume
+    relies on for bitwise-deterministic restarts (tools/resume_validate.py)."""
+    from rlobjectdetection_tpu.data.imdb import rank_roidb_ratio
+    from rlobjectdetection_tpu.data.loader import RoiBatchLoader
+
+    rng = np.random.RandomState(5)
+    # 17 entries / bs 4 leaves a tail -> exercises the per-epoch offset draw
+    roidb = [{"width": int(rng.randint(80, 400)),
+              "height": int(rng.randint(80, 400))} for _ in range(17)]
+    ratio_list, ratio_index = rank_roidb_ratio(roidb)
+
+    def mk():
+        return RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size=4,
+                              scales=(100,), max_num_gt=5, seed=11)
+
+    run = mk()
+    plans = [run.batch_plan() for _ in range(4)]
+    assert plans[1] != plans[2]  # epochs genuinely re-permute
+
+    resumed = mk()
+    resumed.set_epoch(3)
+    assert resumed.batch_plan() == plans[3]
+    # and the stream continues from there, as an in-process loop would
+    assert resumed._epoch == 4
+
+    # a different seed yields a different epoch-3 plan (keying uses the seed)
+    other = RoiBatchLoader(roidb, ratio_list, ratio_index, batch_size=4,
+                           scales=(100,), max_num_gt=5, seed=12)
+    other.set_epoch(3)
+    assert other.batch_plan() != plans[3]

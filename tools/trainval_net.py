@@ -256,6 +256,10 @@ def main():
 
         for epoch in range(args.start_epoch, args.epochs + 1):
             start = time.time()
+            # epoch-keyed batch plan (loader.set_epoch): a resumed process
+            # replays exactly the data order the uninterrupted run would have
+            # used, so resume is bitwise-deterministic (tools/resume_validate.py)
+            loader.set_epoch(epoch)
             epoch_loader = (AsyncLoader(train_loader, args.num_workers)
                             if args.num_workers > 0 else train_loader)
             for it, sharded in enumerate(device_prefetch(epoch_loader, put)):
