@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--pooling_mode", default=None)
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of the first N steps into logs/trace")
+    p.add_argument("--aot_cache", default=None,
+                   help="dir for serialized train-step executables; a "
+                        "restarted process deserializes instead of paying "
+                        "the XLA compile (engine/aot.py)")
     p.add_argument("--packed_input", default=None,
                    help="directory of pre-packed input blobs (data/packed.py); "
                         "built on first use — batch assembly becomes an mmap "
@@ -227,6 +231,10 @@ def main():
             opt_state=replicate(mesh, state.opt_state),
         )
         step_fn = make_train_step(model, tx, skip_nonfinite=args.skip_nonfinite)
+        if args.aot_cache:
+            from rlobjectdetection_tpu.engine import AotExecutableCache
+
+            step_fn = AotExecutableCache(step_fn, args.aot_cache)
         writer = MetricsWriter("logs") if args.use_tfb else None
 
         if args.profile:
