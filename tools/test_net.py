@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--batch", default=1, type=int,
                    help="eval batch size; >1 groups images by padded-shape bucket "
                         "(same compile set, no cross-aspect padding waste)")
+    p.add_argument("--aot_cache", default=None,
+                   help="dir for serialized eval-forward executables — repeat "
+                        "evals skip the per-bucket XLA compiles (engine/aot.py)")
     return p.parse_args()
 
 
@@ -126,7 +129,16 @@ def main():
         max_num_gt=cfg.MAX_NUM_GT_BOXES, training=False,
     )
 
-    forward = jax.jit(model.apply, static_argnames="train")
+    fwd = jax.jit(
+        lambda p, data, info: model.apply({"params": p}, data, info,
+                                          train=False))
+    if args.aot_cache:
+        from rlobjectdetection_tpu.engine import AotExecutableCache
+
+        fwd = AotExecutableCache(fwd, args.aot_cache)
+
+    def forward(variables, data, info, train=False):
+        return fwd(variables["params"], data, info)
 
     def postprocess_one(rois, cls_prob, bbox_pred, info, valid):
         return postprocess_detections(

@@ -45,6 +45,10 @@ def parse_args():
                    help="threads for the weight statistic (reference used 32 processes)")
     p.add_argument("--layers", default=101, type=int,
                    help="policy-net ResNet depth (reference fixes 101)")
+    p.add_argument("--aot_cache", default=None,
+                   help="dir for serialized step executables; restarted "
+                        "processes deserialize instead of recompiling "
+                        "(engine/aot.py)")
     p.add_argument("--lr", default=None, type=float,
                    help="override RLConfig.learning_rate (reference reads "
                         "config.learning_rate, trainval_net.py:107-112)")
@@ -193,6 +197,12 @@ def main():
     def eval_step(params, data, bboxes):
         pred, _, _ = model.apply({"params": params}, data, bboxes)
         return pred
+
+    if args.aot_cache:
+        from rlobjectdetection_tpu.engine import AotExecutableCache
+
+        train_step = AotExecutableCache(train_step, args.aot_cache)
+        eval_step = AotExecutableCache(eval_step, args.aot_cache)
 
     if args.evaluate:
         evaluate(args, cfg, dataset, loader, eval_step, params, action, log)
