@@ -235,12 +235,37 @@ def _check_pallas(batch_size):
     fused_model = ResNetBase(num_layers=101, dtype=jnp.bfloat16,
                              conv1_fused=True, layer1_fused=True)
 
+    # VGG fused block 1 (round 4): conv1_1+relu+conv1_2+relu+pool1 vs the XLA
+    # composition, same on-chip bf16 bench shapes (ops/vgg_stem_pallas.py)
+    from rlobjectdetection_tpu.ops.vgg_stem_pallas import fused_vgg_block1
+
+    vk1 = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.1)
+    vb1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    vk2 = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    vb2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+
+    def xla_vgg1(p, x):
+        y = lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), vk1.astype(jnp.bfloat16), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jnp.maximum(y + vb1.astype(jnp.bfloat16), 0.0)
+        y = lax.conv_general_dilated(
+            y, vk2.astype(jnp.bfloat16), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = jnp.maximum(y + vb2.astype(jnp.bfloat16), 0.0)
+        return lax.reduce_window(y, jnp.asarray(-jnp.inf, jnp.bfloat16),
+                                 lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def pallas_vgg1(p, x):
+        return fused_vgg_block1(x, vk1, vb1, vk2, vb2)
+
     report = {"metric": "pallas_onchip_parity", "batch": batch_size}
     ok = True
     for name, ref_fn, got_fn, tol in (
             ("stem", xla_stem, pallas_stem, 0.05),
             ("layer1", xla_l1, pallas_l1, 0.08),
-            ("base_c4", full(plain), full(fused_model), 0.25)):
+            ("base_c4", full(plain), full(fused_model), 0.25),
+            ("vgg_block1", xla_vgg1, pallas_vgg1, 0.08)):
         ref = np.asarray(jax.jit(ref_fn)(params, x), dtype=np.float32)
         got = np.asarray(jax.jit(got_fn)(params, x), dtype=np.float32)
         scale = np.abs(ref).max() + 1e-6

@@ -70,7 +70,9 @@ class FasterRCNN(nn.Module):
         self._dtype = dtype
         num_anchors = len(self.cfg.ANCHOR_SCALES) * len(self.cfg.ANCHOR_RATIOS)
         if self.backbone == "vgg16":
-            self.base = VGGBase(dtype=dtype)
+            self.base = VGGBase(dtype=dtype,
+                                conv1_fused=self.cfg.CONV1_FUSED,
+                                stem_interpret=self.cfg.STEM_INTERPRET)
             self.head = VGGHead(dtype=dtype)
             self.dout_base = 512
         elif self.backbone == "tiny":
@@ -169,7 +171,6 @@ class FasterRCNN(nn.Module):
             post_nms_top_n=phase.RPN_POST_NMS_TOP_N,
             nms_thresh=phase.RPN_NMS_THRESH,
             nms_tile=c.NMS_TILE,
-            nms_impl=c.NMS_IMPL,
         )
 
         out = {}
