@@ -92,10 +92,29 @@ def _load_meta(path: str) -> dict:
     return {}
 
 
+def _numpy_restore_args(ckptr, path):
+    """RestoreArgs tree forcing every leaf to plain numpy — fully
+    topology-agnostic (no sharding reconstruction at all)."""
+    ocp = _ocp()
+    tree = ckptr.metadata(path).item_metadata.tree
+    return jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
+
+
 def load_checkpoint(path: str, state=None):
     """Load a checkpoint; if `state` is given, restores into its structure
     (shapes/dtypes/pytree node types preserved — needed for opt_state tuples).
-    Returns (state_or_tree, meta)."""
+    Returns (state_or_tree, meta).
+
+    Topology-portable by construction, matching the reference's
+    train-multi-GPU → test-single-GPU workflow (a torch state dict carries no
+    topology: RCNN_bases/trainval_net.py:374-394 save, test_net.py:169-172
+    load). With `state`, restore targets are the CURRENT arrays' shardings
+    (construct_restore_args), so a checkpoint written under an 8-device mesh
+    restores cleanly in a 1-device process and vice versa — never orbax's
+    "unsafe" checkpoint-sharding-file fallback. Without `state`, every leaf is
+    restored as plain numpy (no sharding reconstruction at all)."""
     ocp = _ocp()
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
@@ -106,14 +125,15 @@ def load_checkpoint(path: str, state=None):
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
-        restored = ckptr.restore(path, item=template)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+        restored = ckptr.restore(path, item=template, restore_args=restore_args)
         new_state = state._replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
         )
         return new_state, meta
-    restored = ckptr.restore(path)
+    restored = ckptr.restore(path, restore_args=_numpy_restore_args(ckptr, path))
     return restored, meta
 
 
@@ -124,7 +144,10 @@ def save_params(path: str, params):
 
 def load_params(path: str):
     ocp = _ocp()
-    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))["params"]
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    return ckptr.restore(
+        path, restore_args=_numpy_restore_args(ckptr, path))["params"]
 
 
 def save_net_npz(path: str, params):

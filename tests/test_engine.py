@@ -92,6 +92,83 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["class_agnostic"] is True
 
 
+def _flat_expected(state):
+    flat = jax.tree_util.tree_flatten_with_path(
+        {"params": state.params, "opt_state": state.opt_state})[0]
+    out = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    out["step"] = np.asarray(state.step)
+    return out
+
+
+def test_checkpoint_cross_topology_8_to_1(tmp_path):
+    """A checkpoint saved under the 8-device mesh restores bit-exactly in a
+    fresh ONE-device process, with no orbax unsafe-sharding-fallback warning —
+    the reference's train-multi-GPU → test-single-GPU workflow
+    (RCNN_bases/test_net.py:169-172)."""
+    import subprocess
+    import sys as _sys
+
+    import optax
+    from rlobjectdetection_tpu.engine.checkpoint import save_checkpoint
+    from rlobjectdetection_tpu.engine.train import TrainState
+    from rlobjectdetection_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(8)
+    params = {"w": jnp.arange(32, dtype=jnp.float32).reshape(4, 8) * 1.5,
+              "b": jnp.arange(16, dtype=jnp.float32) - 3.0}
+    tx = optax.sgd(0.1, momentum=0.9)
+    opt = tx.init(params)
+    # non-trivial momentum trace so opt_state equality is meaningful
+    upd, opt = tx.update(jax.tree_util.tree_map(lambda x: x * 0.1, params), opt, params)
+    state = TrainState(replicate(mesh, params), replicate(mesh, opt), jnp.int32(42))
+    path = str(tmp_path / "ckpt8")
+    save_checkpoint(path, state, epoch=3)
+    exp = str(tmp_path / "expected.npz")
+    np.savez(exp, **_flat_expected(state))
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "topo_worker.py"),
+         path, exp],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "CROSS_TOPO_OK" in r.stdout, r.stdout
+
+
+def test_checkpoint_cross_topology_1_to_8(tmp_path):
+    """The reverse direction: a checkpoint whose arrays were saved with
+    single-device sharding restores into an 8-device-mesh-replicated template,
+    bit-exact, landing on all 8 devices."""
+    import warnings
+
+    import optax
+    from rlobjectdetection_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from rlobjectdetection_tpu.engine.train import TrainState
+    from rlobjectdetection_tpu.parallel import make_mesh, replicate
+
+    params = {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4) + 0.25}
+    tx = optax.sgd(0.1, momentum=0.9)
+    dev0 = jax.devices()[0]
+    one_dev = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), params)
+    state1 = TrainState(one_dev, jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, dev0), tx.init(params)), jnp.int32(7))
+    path = str(tmp_path / "ckpt1")
+    save_checkpoint(path, state1, epoch=1)
+
+    mesh = make_mesh(8)
+    template = TrainState(
+        replicate(mesh, jax.tree_util.tree_map(jnp.zeros_like, params)),
+        replicate(mesh, tx.init(params)), jnp.int32(0))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        state8, meta = load_checkpoint(path, template)
+    assert not [w for w in caught if "harding" in str(w.message)], caught
+    np.testing.assert_array_equal(np.asarray(state8.params["w"]), np.asarray(params["w"]))
+    assert int(state8.step) == 7 and meta["epoch"] == 1
+    assert len(state8.params["w"].sharding.device_set) == 8
+
+
 def test_npz_dump_roundtrip(tmp_path):
     from rlobjectdetection_tpu.engine.checkpoint import load_net_npz, save_net_npz
 
