@@ -64,7 +64,9 @@ def main():
     model = FasterRCNN(num_classes=4, backbone="tiny", cfg=cfg)
 
     rng = np.random.RandomState(0)
-    b, h, w, g = 4, 64, 80, 8
+    # one image per global device: the global batch is identical for every
+    # process topology with the same device total (loss-equality contract)
+    b, h, w, g = nprocs * ndev_local, 64, 80, 8
     gt = np.zeros((b, g, 5), np.float32)
     for i in range(b):
         for j in range(4):
