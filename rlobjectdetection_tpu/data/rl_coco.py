@@ -110,7 +110,12 @@ def get_weights_statistics(imgIds, catIds, dt_boxes, gt_boxes, bbox_action,
 
 class COCOTransform:
     """Random short-side resize + max-size cap + optional flip
-    (RL_coco_dataset.py:174-205)."""
+    (RL_coco_dataset.py:174-205).
+
+    Accepts an optional per-item `rng`; when the loader supplies one keyed by
+    (seed, epoch, index), a resumed run replays exactly the transforms the
+    uninterrupted run would have drawn (deterministic resume — the internal
+    stateful stream is only the fallback for direct calls)."""
 
     def __init__(self, sizes, max_size, flip: bool = False, seed: int = 3):
         if not isinstance(sizes, (list, tuple)):
@@ -121,18 +126,20 @@ class COCOTransform:
         self.flip = flip
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, img: Image.Image, bboxes: np.ndarray):
+    def __call__(self, img: Image.Image, bboxes: np.ndarray,
+                 rng: np.random.RandomState | None = None):
+        rng = self.rng if rng is None else rng
         image_w, image_h = img.size
         short = min(image_w, image_h)
         large = max(image_w, image_h)
-        size = self.rng.randint(self.scale_min, self.scale_max + 1)
+        size = rng.randint(self.scale_min, self.scale_max + 1)
         scale = min(size / short, self.max_size / large)
         new_w, new_h = int(np.floor(image_w * scale)), int(np.floor(image_h * scale))
         img = img.resize((new_w, new_h))
         if bboxes.shape[0] > 0:
             bboxes = bboxes.copy()
             bboxes[:, :4] *= scale
-        if self.flip and self.rng.random() < 0.5:
+        if self.flip and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             if bboxes.shape[0] > 0:
                 x1 = bboxes[:, 0].copy()
@@ -217,7 +224,7 @@ class COCODataset:
         return (np.asarray(bboxes_out, dtype=np.float32),
                 np.asarray(labels_out, dtype=np.float32))
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, rng: np.random.RandomState | None = None):
         img_id = self.imgIds[idx]
         meta = self.cocoGt.imgs[img_id]
         filename = os.path.join(self.root_dir, meta["file_name"])
@@ -228,7 +235,9 @@ class COCODataset:
 
         bboxes, labels = self.label_detections(img_id)
 
-        if self.transform_fn:
+        if self.transform_fn and rng is not None:
+            scale, img, bboxes = self.transform_fn(img, bboxes, rng=rng)
+        elif self.transform_fn:
             scale, img, bboxes = self.transform_fn(img, bboxes)
         else:
             scale = 1.0
@@ -253,18 +262,33 @@ class COCODataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.pad_multiple = pad_multiple
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0  # next __iter__()'s epoch stream (see set_epoch)
 
     def __len__(self):
         return int(np.ceil(len(self.dataset) / self.batch_size))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT __iter__() to epoch's stream. The batch order and every
+        per-item transform draw are pure functions of (seed, epoch, index), so
+        a resumed run replays exactly the batches an uninterrupted run would
+        have produced — the same repair-by-spec the detector loader got
+        (loader.py::set_epoch); the reference RL loop re-draws from one global
+        torch stream and cannot replay (trainval_net.py:129-133)."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
+        epoch = self._epoch
+        self._epoch += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.RandomState([self.seed, epoch]).shuffle(order)
         for s in range(0, len(order), self.batch_size):
             idxs = order[s : s + self.batch_size]
-            yield self.collate([self.dataset[i] for i in idxs])
+            yield self.collate(
+                [self.dataset.__getitem__(
+                    i, rng=np.random.RandomState([self.seed, epoch, int(i)]))
+                 for i in idxs])
 
     def collate(self, samples):
         from .minibatch import pad_shape

@@ -147,6 +147,40 @@ def test_rl_loader_padding(rl_fixture):
         assert (batch["bboxes"][i, :k, 0] == i).all()
 
 
+def test_rl_loader_epoch_keyed_determinism(rl_fixture):
+    """set_epoch pins the batch order AND the per-item transform draws to a
+    pure function of (seed, epoch, index): a loader resumed at epoch k yields
+    byte-identical batches to an uninterrupted loader at epoch k (the RL
+    deterministic-resume contract, mirroring loader.py::set_epoch)."""
+    ann, dt_file, img_dir = rl_fixture
+    from rlobjectdetection_tpu.data.rl_coco import COCODataLoader, COCODataset, COCOTransform
+
+    action = Action([0.25])
+    # a genuinely random transform (size range + flips) — determinism must
+    # come from the keyed rng, not from a degenerate parameterization
+    ds = COCODataset(img_dir, ann, dt_file, action,
+                     transform_fn=COCOTransform([80, 120], 200, flip=True))
+
+    def epoch_batches(dl, epoch):
+        dl.set_epoch(epoch)
+        return list(dl)
+
+    a = COCODataLoader(ds, batch_size=2, shuffle=True)
+    b = COCODataLoader(ds, batch_size=2, shuffle=True)
+    ran_a = [epoch_batches(a, e) for e in (0, 1)]
+    # "resumed" loader: fresh object, jumps straight to epoch 1
+    ran_b1 = epoch_batches(b, 1)
+    for ba, bb in zip(ran_a[1], ran_b1):
+        for k in ("data", "bboxes", "labels", "num_dts"):
+            np.testing.assert_array_equal(ba[k], bb[k])
+    # different epochs draw different streams (shuffle or flips must differ)
+    diff = any(
+        ba["data"].shape != bb["data"].shape or not np.array_equal(ba["data"], bb["data"])
+        for ba, bb in zip(ran_a[0], ran_a[1])
+    )
+    assert diff, "epoch 0 and 1 produced identical batches — rng not epoch-keyed"
+
+
 def test_rl_policy_net_forward_and_grad():
     import jax
     import jax.numpy as jnp

@@ -226,6 +226,10 @@ def main():
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
         for epoch in range(start_epoch, max_epoch):
+            # epoch-keyed batch plan + per-item transform rng: a resumed run
+            # replays exactly the stream the uninterrupted run would have used
+            # (deterministic resume — validated by tools/rl_resume_validate.py)
+            loader.set_epoch(epoch)
             batch_time, data_time, losses = AveMeter(), AveMeter(), AveMeter()
             end = time.time()
             for it, batch in enumerate(loader):
