@@ -117,7 +117,6 @@ class Config:
     # TPU-specific knobs (no reference counterpart)
     DTYPE: str = "bfloat16"          # compute dtype for the backbone/heads
     NMS_TILE: int = 256
-    NMS_IMPL: str = "auto"           # kept for API stability; scan is final
     REMAT: bool = False              # rematerialize backbone stages (memory ↓, FLOPs ↑)
     ALIGN_IMPL: str = "autodiff"     # autodiff | cvjp (sorted-scatter backward; compiles faster)
     CONV1_S2D: bool = False          # space-to-depth stem (identical numerics; measured slower on v5e)

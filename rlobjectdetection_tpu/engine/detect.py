@@ -25,8 +25,7 @@ from ..ops.nms import nms_select
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "class_agnostic", "max_per_image", "nms_thresh",
-                     "score_thresh", "bbox_reg", "normalize_stds", "normalize_means",
-                     "nms_impl"),
+                     "score_thresh", "bbox_reg", "normalize_stds", "normalize_means"),
 )
 def postprocess_detections(
     rois: jnp.ndarray,           # [R, 5] (batch_idx, x1, y1, x2, y2), one image
@@ -43,7 +42,6 @@ def postprocess_detections(
     bbox_reg: bool = True,
     normalize_stds=(0.1, 0.1, 0.2, 0.2),
     normalize_means=(0.0, 0.0, 0.0, 0.0),
-    nms_impl: str = "auto",
 ):
     """Returns (boxes [max_per_image, 4] in ORIGINAL image coords,
     scores [max_per_image], classes [max_per_image] int32, valid [max_per_image]).
@@ -72,7 +70,7 @@ def postprocess_detections(
         boxes_j = pred_per_class[:, j]
         valid = roi_valid & (scores_j > score_thresh)
         sb, ss, sv = nms_select(boxes_j, scores_j, nms_thresh, max_per_image,
-                                valid=valid, impl=nms_impl)
+                                valid=valid)
         return sb, ss, sv
 
     cls_ids = jnp.arange(1, num_classes)  # skip background (test_net.py:277)

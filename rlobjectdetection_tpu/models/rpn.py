@@ -74,7 +74,6 @@ def proposal_layer(
     post_nms_top_n: int,
     nms_thresh: float,
     nms_tile: int = 256,
-    nms_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-shape proposal generation (proposal_layer.py:49-165).
 
@@ -98,7 +97,7 @@ def proposal_layer(
 
     def per_image(boxes_i, scores_i):
         return nms_select(boxes_i, scores_i, nms_thresh, post_nms_top_n,
-                          tile_size=nms_tile, impl=nms_impl)
+                          tile_size=nms_tile)
 
     sel_boxes, sel_scores, sel_valid = jax.vmap(per_image)(top_boxes, top_scores)
 

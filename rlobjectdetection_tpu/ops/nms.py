@@ -179,7 +179,7 @@ def nms_sorted_mask(boxes: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         valid: jnp.ndarray | None = None, tile_size: int = 256,
-        impl: str = "auto", max_keep: int | None = None):
+        max_keep: int | None = None):
     """Greedy NMS on unsorted boxes.
 
     Returns (order, keep): `order` [N] indices sorting by descending score,
@@ -189,8 +189,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     were built and measured in round 1 (single-kernel: >10 min Mosaic compile;
     grid-per-tile: 22.3 ms vs the scan's 4.0 ms at N=12288) and retired —
     exact greedy NMS is 9% of the train step and the scan already saturates
-    it (DESIGN.md "NMS: sorted tiled suppression"). `impl` is kept for API
-    stability; every value resolves to the scan.
+    it (DESIGN.md "NMS: sorted tiled suppression").
     """
     n = boxes.shape[0]
     if valid is None:
@@ -209,10 +208,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return order, keep
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size", "impl"))
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size"))
 def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-               max_out: int, valid: jnp.ndarray | None = None, tile_size: int = 256,
-               impl: str = "auto"):
+               max_out: int, valid: jnp.ndarray | None = None, tile_size: int = 256):
     """NMS then keep the top `max_out` survivors (score order), zero-padded.
 
     Returns (sel_boxes [max_out, 4], sel_scores [max_out], sel_valid [max_out]).
@@ -225,7 +223,7 @@ def nms_select(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     less than half the tiles run.
     """
     order, keep = nms(boxes, scores, iou_threshold, valid=valid,
-                      tile_size=tile_size, impl=impl, max_keep=max_out)
+                      tile_size=tile_size, max_keep=max_out)
     # Survivors are already in score order (keep is a mask over the sorted
     # array), so "top max_out survivors" is a compaction, not a sort: the
     # m-th output is the first index where cumsum(keep) reaches m+1. The
