@@ -89,66 +89,64 @@ class imdb:
         (imdb.py:99-108)."""
         raise NotImplementedError
 
+    @staticmethod
+    def _mirror_entry(entry, width):
+        """One flipped roidb entry: x-mirror the boxes under the +1 pixel
+        convention (new x1/x2 = width-1 minus old x2/x1)."""
+        boxes = entry["boxes"].copy()
+        boxes[:, [2, 0]] = width - 1 - boxes[:, [0, 2]]
+        assert (boxes[:, 2] >= boxes[:, 0]).all()
+        return dict(entry, boxes=boxes, flipped=True)
+
     def append_flipped_images(self):
         """Horizontal-flip augmentation (imdb.py:114-129): boxes mirrored in x,
         entries appended with flipped=True; image_index doubled."""
-        num_images = self.num_images
-        widths = self._get_widths()
-        for i in range(num_images):
-            entry = self.roidb[i]
-            boxes = entry["boxes"].copy()
-            oldx1 = boxes[:, 0].copy()
-            oldx2 = boxes[:, 2].copy()
-            boxes[:, 0] = widths[i] - oldx2 - 1
-            boxes[:, 2] = widths[i] - oldx1 - 1
-            assert (boxes[:, 2] >= boxes[:, 0]).all()
-            new_entry = dict(entry)
-            new_entry["boxes"] = boxes
-            new_entry["flipped"] = True
-            self.roidb.append(new_entry)
-        self._image_index = self._image_index * 2
+        mirrored = [self._mirror_entry(e, w)
+                    for e, w in zip(list(self.roidb), self._get_widths())]
+        self.roidb.extend(mirrored)
+        self._image_index = self._image_index + self._image_index
 
     def _get_widths(self):
         return [r["width"] for r in self.roidb]
 
+    # recall buckets, keyed by the SIDE bounds (squared below): imdb.py:139-151
+    _AREA_SIDES = {"all": (0, 1e5), "small": (0, 32), "medium": (32, 96),
+                   "large": (96, 1e5), "96-128": (96, 128),
+                   "128-256": (128, 256), "256-512": (256, 512),
+                   "512-inf": (512, 1e5)}
+
+    def _recall_candidates(self, i, lo2, hi2, candidate_boxes, limit):
+        """Per-image (proposals, in-bucket crowd-free gt boxes, #gt) for
+        evaluate_recall."""
+        entry = self.roidb[i]
+        is_gt = (entry["gt_classes"] > 0) & (entry["gt_overlaps"].max(axis=1) == 1)
+        gt_boxes = entry["boxes"][is_gt]
+        if "seg_areas" in entry:
+            sizes = entry["seg_areas"][is_gt]
+        else:
+            wh = gt_boxes[:, 2:4] - gt_boxes[:, 0:2] + 1
+            sizes = wh[:, 0] * wh[:, 1]
+        in_bucket = (sizes >= lo2) & (sizes <= hi2)
+        if candidate_boxes is None:
+            props = entry["boxes"][entry["gt_classes"] == 0]
+        else:
+            props = candidate_boxes[i]
+        if limit is not None:
+            props = props[:limit]
+        return props, gt_boxes[in_bucket], int(in_bucket.sum())
+
     def evaluate_recall(self, candidate_boxes=None, thresholds=None, area="all",
                         limit=None):
         """Proposal-recall eval (imdb.py:131-219), gt-overlap based."""
-        areas = {
-            "all": 0, "small": 1, "medium": 2, "large": 3,
-            "96-128": 4, "128-256": 5, "256-512": 6, "512-inf": 7,
-        }
-        area_ranges = [
-            [0 ** 2, 1e5 ** 2], [0 ** 2, 32 ** 2], [32 ** 2, 96 ** 2],
-            [96 ** 2, 1e5 ** 2], [96 ** 2, 128 ** 2], [128 ** 2, 256 ** 2],
-            [256 ** 2, 512 ** 2], [512 ** 2, 1e5 ** 2],
-        ]
-        assert area in areas
-        area_range = area_ranges[areas[area]]
+        lo, hi = self._AREA_SIDES[area]
         gt_overlaps = np.zeros(0)
         num_pos = 0
         for i in range(self.num_images):
-            entry = self.roidb[i]
-            max_gt_overlaps = entry["gt_overlaps"].max(axis=1)
-            gt_inds = np.where((entry["gt_classes"] > 0) & (max_gt_overlaps == 1))[0]
-            gt_boxes = entry["boxes"][gt_inds, :]
-            gt_areas = entry["seg_areas"][gt_inds] if "seg_areas" in entry else (
-                (gt_boxes[:, 2] - gt_boxes[:, 0] + 1) * (gt_boxes[:, 3] - gt_boxes[:, 1] + 1)
-            )
-            valid_gt_inds = np.where(
-                (gt_areas >= area_range[0]) & (gt_areas <= area_range[1])
-            )[0]
-            gt_boxes = gt_boxes[valid_gt_inds, :]
-            num_pos += len(valid_gt_inds)
-            if candidate_boxes is None:
-                non_gt_inds = np.where(entry["gt_classes"] == 0)[0]
-                boxes = entry["boxes"][non_gt_inds, :]
-            else:
-                boxes = candidate_boxes[i]
-            if boxes.shape[0] == 0 or gt_boxes.shape[0] == 0:
+            boxes, gt_boxes, n_in = self._recall_candidates(
+                i, lo * lo, hi * hi, candidate_boxes, limit)
+            num_pos += n_in
+            if not (boxes.shape[0] and gt_boxes.shape[0]):
                 continue
-            if limit is not None and boxes.shape[0] > limit:
-                boxes = boxes[:limit, :]
             ov = bbox_overlaps_np(boxes.astype(float), gt_boxes.astype(float))
             # Greedy one-to-one matching: claim the best remaining
             # (proposal, gt) pair each round and retire both. gt-major flat
@@ -176,41 +174,37 @@ class imdb:
         return {"ar": ar, "recalls": recalls, "thresholds": thresholds,
                 "gt_overlaps": gt_overlaps}
 
+    def _boxlist_entry(self, boxes, gt_entry):
+        """One proposal-file roidb entry: class-0 boxes whose per-class
+        gt_overlaps row carries max-IoU against the matching gt class."""
+        n = boxes.shape[0]
+        cls_iou = np.zeros((n, self.num_classes), dtype=np.float32)
+        if gt_entry is not None and gt_entry["boxes"].size:
+            iou = bbox_overlaps_np(boxes.astype(float),
+                                   gt_entry["boxes"].astype(float))
+            best = iou.argmax(axis=1)
+            hit = iou[np.arange(n), best]
+            rows = np.flatnonzero(hit > 0)
+            cls_iou[rows, gt_entry["gt_classes"][best[rows]]] = hit[rows]
+        return {"boxes": boxes, "gt_classes": np.zeros(n, np.int32),
+                "gt_overlaps": cls_iou, "flipped": False,
+                "seg_areas": np.zeros(n, np.float32)}
+
     def create_roidb_from_box_list(self, box_list, gt_roidb):
         """Proposal-file roidbs (imdb.py:221-248)."""
-        assert len(box_list) == self.num_images
-        roidb = []
-        for i in range(self.num_images):
-            boxes = box_list[i]
-            num_boxes = boxes.shape[0]
-            overlaps = np.zeros((num_boxes, self.num_classes), dtype=np.float32)
-            if gt_roidb is not None and gt_roidb[i]["boxes"].size > 0:
-                gt_boxes = gt_roidb[i]["boxes"]
-                gt_classes = gt_roidb[i]["gt_classes"]
-                gt_ov = bbox_overlaps_np(boxes.astype(float), gt_boxes.astype(float))
-                argmaxes = gt_ov.argmax(axis=1)
-                maxes = gt_ov.max(axis=1)
-                I = np.where(maxes > 0)[0]
-                overlaps[I, gt_classes[argmaxes[I]]] = maxes[I]
-            roidb.append(
-                {
-                    "boxes": boxes,
-                    "gt_classes": np.zeros((num_boxes,), dtype=np.int32),
-                    "gt_overlaps": overlaps,
-                    "flipped": False,
-                    "seg_areas": np.zeros((num_boxes,), dtype=np.float32),
-                }
-            )
-        return roidb
+        assert len(box_list) == self.num_images, "box list length mismatch"
+        gts = gt_roidb if gt_roidb is not None else [None] * self.num_images
+        return [self._boxlist_entry(b, g) for b, g in zip(box_list, gts)]
+
+    _MERGE = (("boxes", np.vstack), ("gt_classes", np.hstack),
+              ("gt_overlaps", np.vstack), ("seg_areas", np.hstack))
 
     @staticmethod
     def merge_roidbs(a, b):
-        assert len(a) == len(b)
-        for i in range(len(a)):
-            a[i]["boxes"] = np.vstack((a[i]["boxes"], b[i]["boxes"]))
-            a[i]["gt_classes"] = np.hstack((a[i]["gt_classes"], b[i]["gt_classes"]))
-            a[i]["gt_overlaps"] = np.vstack((a[i]["gt_overlaps"], b[i]["gt_overlaps"]))
-            a[i]["seg_areas"] = np.hstack((a[i]["seg_areas"], b[i]["seg_areas"]))
+        assert len(a) == len(b), "roidb length mismatch"
+        for ea, eb in zip(a, b):
+            for key, cat in imdb._MERGE:
+                ea[key] = cat((ea[key], eb[key]))
         return a
 
 
