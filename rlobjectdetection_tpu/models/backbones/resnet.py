@@ -388,10 +388,15 @@ class ResNetBase(nn.Module):
 
             kernel = _Conv1Param(name="conv1")()
             scale, bias, mean, var = _BN1Params(name="bn1")()
+            # x passes in UNCAST (f32): the kernel's _flatten_pad casts to
+            # compute_dtype inside a fusable cast+pad — a standalone
+            # convert + relayout copy of the full-res image otherwise shows
+            # up ahead of the kernel (round-4 HLO attribution)
             x = fused_stem(x, kernel, scale, bias, mean, var,
                            out_dtype=self.dtype, compute_dtype=self.dtype,
                            interpret=self.stem_interpret, cw_out=fuse_l1)
         else:
+            x = x.astype(self.dtype)
             if self.conv1_s2d:
                 x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
             else:

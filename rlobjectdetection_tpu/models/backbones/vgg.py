@@ -61,6 +61,10 @@ class VGGBase(nn.Module):
 
         pallas_ok = self.stem_interpret or jax.default_backend() == "tpu"
         fuse1 = self.conv1_fused and pallas_ok and self.frozen_blocks >= 1
+        if not fuse1:
+            # fused block 1 takes the raw (f32) image and casts inside its
+            # fusable flatten-pad; the plain path casts up front
+            x = x.astype(self.dtype)
         for block, n_convs, ch in VGG16_CFG:
             if block == 1 and fuse1:
                 from rlobjectdetection_tpu.ops.vgg_stem_pallas import fused_vgg_block1

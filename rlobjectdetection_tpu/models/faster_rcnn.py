@@ -148,11 +148,14 @@ class FasterRCNN(nn.Module):
         c = self.cfg
         b = im_data.shape[0]
 
+        # the bases own the compute-dtype cast: their fused Pallas stems fold
+        # it into the kernel's flatten-pad, the plain paths cast at entry
         if isinstance(self.base, ResNetBase):
             # eval computes no gradients, so frozen-stage fusion (STAGE_FUSED)
             # applies regardless of FIXED_BLOCKS
-            base_feat = self.base(im_data.astype(self._dtype),
-                                  fwd_only=not train)
+            base_feat = self.base(im_data, fwd_only=not train)
+        elif isinstance(self.base, VGGBase):
+            base_feat = self.base(im_data)
         else:
             base_feat = self.base(im_data.astype(self._dtype))
         rpn_cls, rpn_delta = self.rpn(base_feat)

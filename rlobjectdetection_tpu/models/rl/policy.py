@@ -67,7 +67,9 @@ class RLPolicyNet(nn.Module):
         targets is None.
         """
         rois = bboxes.reshape(-1, bboxes.shape[-1])[:, :5].astype(jnp.float32)
-        x = self.base(img.astype(self.dtype))
+        # uncast: ResNetBase owns the compute-dtype cast (the fused stem folds
+        # it into the kernel's flatten-pad; the plain path casts at entry)
+        x = self.base(img)
         # keep the trunk dtype through the gather: bf16 halves the bandwidth
         # of the hot roi_align corner reads; interpolation ratios are f32 and
         # promote inside roi_align_impl (same measured choice as
