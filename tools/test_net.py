@@ -40,6 +40,10 @@ def parse_args():
     p.add_argument("--aot_cache", default=None,
                    help="dir for serialized eval-forward executables — repeat "
                         "evals skip the per-bucket XLA compiles (engine/aot.py)")
+    p.add_argument("--packed_input", default=None,
+                   help="directory of pre-packed input blobs (data/packed.py); "
+                        "built on first use — eval image assembly becomes an "
+                        "mmap read, so ONE host core can feed the chip")
     return p.parse_args()
 
 
@@ -124,10 +128,18 @@ def main():
         )
         params = tree["params"]
 
-    loader = RoiBatchLoader(
-        roidb, ratio_list, ratio_index, 1, scales=cfg.TEST.SCALES,
-        max_num_gt=cfg.MAX_NUM_GT_BOXES, training=False,
-    )
+    loader_kw = dict(scales=cfg.TEST.SCALES, max_num_gt=cfg.MAX_NUM_GT_BOXES,
+                     training=False)
+    if args.packed_input:
+        from rlobjectdetection_tpu.data.packed import (PackedRoiBatchLoader,
+                                                       pack_roidb)
+
+        pack_roidb(roidb, cfg.TEST.SCALES, args.packed_input)  # incremental
+        loader = PackedRoiBatchLoader(
+            roidb, ratio_list, ratio_index, 1,
+            pack_root=args.packed_input, **loader_kw)
+    else:
+        loader = RoiBatchLoader(roidb, ratio_list, ratio_index, 1, **loader_kw)
 
     fwd = jax.jit(
         lambda p, data, info: model.apply({"params": p}, data, info,
@@ -155,6 +167,7 @@ def main():
     dets = [None] * num_images
     t_det = 0.0
     n_done = 0
+    t_wall0 = time.time()
     shape_buckets = {}   # padded (H, W) → count: each distinct shape is one XLA compile
     if args.batch > 1:
         # bucketed batching: the reference is strictly bs1 at eval
@@ -206,6 +219,13 @@ def main():
                 _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid)
             if i % 100 == 0:
                 print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")
+
+    # composed detect-loop rate: host image assembly + device forward +
+    # postprocess, everything between the first batch and the last detection
+    # (compiles excluded only if --aot_cache pre-warmed them)
+    t_wall = time.time() - t_wall0
+    print(f"detect loop: {num_images / t_wall:.1f} img/s wall "
+          f"({t_wall:.1f}s total; device-timed {num_images / max(t_det, 1e-9):.1f} img/s)")
 
     # recompilation report: pad_multiple quantization bounds the jit cache to
     # these buckets; each row below was one compile (VERDICT r1 weak-7)
