@@ -7,9 +7,16 @@ TensorBoard needed): groups trace events on device tracks by op name and
 prints cumulative duration, so the fused-step time attribution is measured,
 not inferred from standalone sub-programs (tools/profile_step.py).
 
+The model config mirrors bench.py exactly (fused Pallas kernels ON by
+default; same --no-fused-stem/--no-fused-layer1/--cvjp/--pallas-align/--remat
+flags) so the attribution is measured at the benchmarked optimum.
+
 Run:  python tools/trace_step.py [bs]        (default 8)
       python tools/trace_step.py --infer [bs]   eval fwd + postprocess
       python tools/trace_step.py --rl [bs]      RL action-value train step
+      python tools/trace_step.py --hlo [bs]     also dump the optimized HLO
+        of the SAME compiled train step to /tmp/step_hlo.txt (one compile
+        serves both) — grep the trace's fusion names there for attribution.
 """
 
 import glob
@@ -57,7 +64,20 @@ def main():
         float(run_rl())
         _trace_and_report(jax, run_rl, lambda out: float(out))
         return
-    cfg = Config(ANCHOR_SCALES=(4, 8, 16, 32), MAX_NUM_GT_BOXES=50)
+    from bench import _fused_stages_flag
+
+    cfg = Config(
+        ANCHOR_SCALES=(4, 8, 16, 32), MAX_NUM_GT_BOXES=50,
+        REMAT="--remat" in sys.argv,
+        CONV1_S2D="--s2d" in sys.argv,
+        CONV1_FUSED="--no-fused-stem" not in sys.argv,
+        LAYER1_FUSED=("--no-fused-stem" not in sys.argv
+                      and "--no-fused-layer1" not in sys.argv),
+        ALIGN_IMPL=("cvjp" if "--cvjp" in sys.argv
+                    else "pallas" if "--pallas-align" in sys.argv
+                    else "autodiff"),
+        STAGE_FUSED=_fused_stages_flag(),
+    )
     model = FasterRCNN(num_classes=81, backbone="resnet101", cfg=cfg)
     rng = np.random.RandomState(3)
     batch = {
@@ -92,6 +112,19 @@ def main():
                                         )[0].ravel()[0]}
     else:
         step = make_train_step(model, tx)
+        if "--hlo" in sys.argv:
+            # dump-only: executing the AOT Compiled object hangs over the
+            # axon tunnel (measured round 4), so the trace itself must run
+            # via the jit path in a separate invocation. Instruction names
+            # are deterministic for the same program, so the dumped HLO
+            # attributes that trace's fusion names exactly.
+            hlo_path = next((a for a in sys.argv[1:] if a.endswith(".txt")),
+                            "/tmp/step_hlo.txt")
+            compiled = step.lower(state, batch, key).compile()
+            with open(hlo_path, "w") as f:
+                f.write(compiled.as_text())
+            print(f"wrote optimized HLO to {hlo_path}")
+            return
 
     holder = {"state": state, "i": 0}
 
