@@ -125,3 +125,32 @@ def test_batched_eval_matches_per_image(setup):
     for i in range(len(roidb)):
         for a, b in zip(single[i], batched[i]):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_precast_input_bit_identical(setup):
+    """tools/test_net.py ships pixels pre-cast to the compute dtype to halve
+    the H2D bytes. The backbone casts its input to cfg.DTYPE on device, and
+    float32→bfloat16 is round-to-nearest-even on either side of the wire, so
+    a host-side pre-cast must leave every output bit unchanged."""
+    import dataclasses
+
+    import ml_dtypes
+
+    roidb, cfg, _, loader, _ = setup
+    bcfg = dataclasses.replace(cfg, DTYPE="bfloat16")
+    model = FasterRCNN(num_classes=4, backbone="tiny", cfg=bcfg)
+    batch = loader._assemble([0], 1.0)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init, static_argnames="train")(
+        {"params": key, "sampling": key, "dropout": key},
+        jnp.asarray(batch["data"]), jnp.asarray(batch["im_info"]), train=False,
+    )["params"]
+    forward = jax.jit(model.apply, static_argnames="train")
+    out_f32 = forward({"params": params}, jnp.asarray(batch["data"]),
+                      jnp.asarray(batch["im_info"]), train=False)
+    pre = batch["data"].astype(np.dtype(ml_dtypes.bfloat16), copy=False)
+    out_pre = forward({"params": params}, jnp.asarray(pre),
+                      jnp.asarray(batch["im_info"]), train=False)
+    for k in ("rois", "cls_prob", "bbox_pred", "roi_valid"):
+        np.testing.assert_array_equal(np.asarray(out_f32[k]),
+                                      np.asarray(out_pre[k]), err_msg=k)

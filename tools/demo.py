@@ -120,7 +120,9 @@ def main():
     params, meta = None, {}
     if args.load_name:
         tree, meta = load_checkpoint(args.load_name)
-        params = tree["params"]
+        # pin on device once: jitted calls re-transfer host-backed trees on
+        # every image otherwise (same fix as tools/test_net.py)
+        params = jax.device_put(tree["params"])
         if meta.get("pooling_mode"):
             # the reference demo restores cfg.POOLING_MODE from the
             # checkpoint (RCNN_bases/demo.py:190-191), like test_net

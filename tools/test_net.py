@@ -128,6 +128,12 @@ def main():
         )
         params = tree["params"]
 
+    # Pin the weights on device ONCE. Jitted calls re-transfer committed host
+    # arrays on EVERY call, and an orbax-restored tree arrives as host-backed
+    # arrays — at res101-f32 size that is ~170 MB of silent weight re-upload
+    # per batch (the tunneled backend moves ~55 MB/s, so ~3 s/batch of it).
+    params = jax.device_put(params)
+
     loader_kw = dict(scales=cfg.TEST.SCALES, max_num_gt=cfg.MAX_NUM_GT_BOXES,
                      training=False)
     if args.packed_input:
@@ -152,7 +158,7 @@ def main():
     def forward(variables, data, info, train=False):
         return fwd(variables["params"], data, info)
 
-    def postprocess_one(rois, cls_prob, bbox_pred, info, valid):
+    def _post(rois, cls_prob, bbox_pred, info, valid):
         return postprocess_detections(
             rois, cls_prob, bbox_pred, info, valid,
             num_classes=imdb_obj.num_classes,
@@ -164,68 +170,130 @@ def main():
             normalize_means=cfg.TRAIN.BBOX_NORMALIZE_MEANS,
         )
 
+    # the postprocess programs compile per process like the forward does
+    # (the persistent JAX cache does not serve tunneled-TPU compiles), so
+    # --aot_cache covers them too — eval restart latency stays pinned
+    postprocess_one = jax.jit(_post)
+    batched_post = jax.jit(jax.vmap(_post))
+    if args.aot_cache:
+        postprocess_one = AotExecutableCache(postprocess_one, args.aot_cache)
+        batched_post = AotExecutableCache(batched_post, args.aot_cache)
+
+    # wire format for the image blob: the model's compute dtype. ml_dtypes
+    # registers bfloat16 with numpy, so np.dtype(cfg.DTYPE) resolves it.
+    import ml_dtypes  # noqa: F401  (numpy dtype registration)
+    xfer_dtype = np.dtype(cfg.DTYPE)
+
     dets = [None] * num_images
     t_det = 0.0
     n_done = 0
     t_wall0 = time.time()
+    # steady-state accounting: the first batch of each padded shape carries
+    # that shape's XLA compile (unless --aot_cache pre-warmed it), so the
+    # composed-throughput report also shows the rate over repeat-shape batches
+    t_steady, n_steady = 0.0, 0
     shape_buckets = {}   # padded (H, W) → count: each distinct shape is one XLA compile
     if args.batch > 1:
         # bucketed batching: the reference is strictly bs1 at eval
         # (test_net.py:230); same-shape images batch with no padding waste
         if len(cfg.TEST.SCALES) != 1:
             sys.exit("--batch >1 requires a single TEST scale (shape planning)")
-        batched_post = jax.jit(jax.vmap(postprocess_one))
         plan = eval_bucket_plan(roidb, cfg.TEST.SCALES[0], args.batch)
-        for idxs, hw in plan:
-            batch = loader._assemble(idxs, 1.0, pad_hw=hw, pad_count=args.batch)
+        # three-stage pipeline: assemble(k+2) ∥ H2D-transfer(k+1) ∥ compute(k)
+        # on separate single-worker pools, so the composed rate is
+        # max(assembly, transfer, device) instead of their sum. The transfer
+        # stage also pre-casts pixels to the model's compute dtype: the
+        # backbone casts on device anyway (resnet.py "compute-dtype cast"),
+        # and float32→bfloat16 is the same round-to-nearest-even either side
+        # of the wire — bit-identical results, half the bytes in flight
+        # (tests/test_eval_batch.py::test_precast_input_bit_identical).
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        asm_pool, xfer_pool = ThreadPoolExecutor(1), ThreadPoolExecutor(1)
+        asm = lambda item: loader._assemble(item[0], 1.0, pad_hw=item[1],
+                                            pad_count=args.batch)
+
+        def xfer(asm_fut):
+            b = asm_fut.result()
+            return (b, jax.device_put(b["data"].astype(xfer_dtype, copy=False)),
+                    jax.device_put(b["im_info"]))
+
+        asm_q = collections.deque(
+            asm_pool.submit(asm, item) for item in plan[:2])
+        xfer_q = collections.deque(
+            [xfer_pool.submit(xfer, asm_q.popleft())] if asm_q else [])
+        for k, (idxs, hw) in enumerate(plan):
+            t_it = time.time()
+            batch, data_dev, info_dev = xfer_q.popleft().result()
+            if k + 2 < len(plan):
+                asm_q.append(asm_pool.submit(asm, plan[k + 2]))
+            if asm_q:
+                xfer_q.append(xfer_pool.submit(xfer, asm_q.popleft()))
             # record the shape actually assembled — _assemble can grow past the
             # planned canvas on a rounding under-prediction, and the compile
             # audit below must count the shape that really compiled
             real_hw = tuple(batch["data"].shape[1:3])
+            warm = real_hw in shape_buckets
             shape_buckets[real_hw] = shape_buckets.get(real_hw, 0) + len(idxs)
             t0 = time.time()
-            out = forward(
-                {"params": params}, jnp.asarray(batch["data"]),
-                jnp.asarray(batch["im_info"]), train=False,
-            )
+            out = forward({"params": params}, data_dev, info_dev, train=False)
             res = batched_post(out["rois"], out["cls_prob"], out["bbox_pred"],
-                               jnp.asarray(batch["im_info"]), out["roi_valid"])
-            jax.block_until_ready(res)
+                               info_dev, out["roi_valid"])
+            # ONE bulk fetch per batch: per-image np.asarray slices are a
+            # blocking host round trip EACH (32/batch) — measured 8.9 s/batch
+            # over the tunneled backend vs ~0.3 s for the bulk get
+            res = jax.device_get(res)
             t_det += time.time() - t0
+            if warm:
+                t_steady += time.time() - t_it
+                n_steady += len(idxs)
             for j, idx in enumerate(idxs):
-                dets[idx] = tuple(np.asarray(x[j]) for x in res)
+                dets[idx] = tuple(x[j] for x in res)
                 if args.vis and (args.vis_max <= 0 or idx < args.vis_max):
                     _write_vis(imdb_obj, roidb, idx, *dets[idx])
             prev, n_done = n_done, n_done + len(idxs)
             if n_done // 100 > prev // 100 or n_done == num_images:
                 print(f"im_detect: {n_done}/{num_images} {t_det / n_done:.3f}s/img")
     else:
-        for i, batch in enumerate(loader):
+        from rlobjectdetection_tpu.data.prefetch import device_prefetch
+
+        # H2D transfer of image i+1/i+2 rides under image i's device compute;
+        # pixels ship pre-cast to the compute dtype (see the --batch path)
+        staged = device_prefetch(
+            loader,
+            lambda b: (b, jax.device_put(b["data"].astype(xfer_dtype, copy=False)),
+                       jax.device_put(b["im_info"])))
+        t_it = time.time()
+        for i, (batch, data_dev, info_dev) in enumerate(staged):
             hw = tuple(batch["data"].shape[1:3])
+            warm = hw in shape_buckets
             shape_buckets[hw] = shape_buckets.get(hw, 0) + 1
             t0 = time.time()
-            out = forward(
-                {"params": params}, jnp.asarray(batch["data"]),
-                jnp.asarray(batch["im_info"]), train=False,
-            )
-            boxes, scores, classes, valid = postprocess_one(
+            out = forward({"params": params}, data_dev, info_dev, train=False)
+            boxes, scores, classes, valid = jax.device_get(postprocess_one(
                 out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
-                jnp.asarray(batch["im_info"][0]), out["roi_valid"][0],
-            )
-            jax.block_until_ready(boxes)
+                info_dev[0], out["roi_valid"][0],
+            ))
             t_det += time.time() - t0
+            if warm:
+                t_steady += time.time() - t_it
+                n_steady += 1
             dets[i] = (boxes, scores, classes, valid)
             if args.vis and (args.vis_max <= 0 or i < args.vis_max):
                 _write_vis(imdb_obj, roidb, i, boxes, scores, classes, valid)
             if i % 100 == 0:
                 print(f"im_detect: {i + 1}/{num_images} {t_det / (i + 1):.3f}s")
+            t_it = time.time()
 
     # composed detect-loop rate: host image assembly + device forward +
-    # postprocess, everything between the first batch and the last detection
-    # (compiles excluded only if --aot_cache pre-warmed them)
+    # postprocess. "steady" drops each shape's first batch (its XLA compile);
+    # with --aot_cache pre-warmed the two rates converge.
     t_wall = time.time() - t_wall0
     print(f"detect loop: {num_images / t_wall:.1f} img/s wall "
-          f"({t_wall:.1f}s total; device-timed {num_images / max(t_det, 1e-9):.1f} img/s)")
+          f"({t_wall:.1f}s total; device-timed {num_images / max(t_det, 1e-9):.1f} "
+          f"img/s; steady {n_steady / max(t_steady, 1e-9):.1f} img/s "
+          f"over {n_steady} repeat-shape images)")
 
     # recompilation report: pad_multiple quantization bounds the jit cache to
     # these buckets; each row below was one compile (VERDICT r1 weak-7)

@@ -205,7 +205,10 @@ def main():
         eval_step = AotExecutableCache(eval_step, args.aot_cache)
 
     if args.evaluate:
-        evaluate(args, cfg, dataset, loader, eval_step, params, action, log)
+        # pin restored host-backed params on device once — jitted eval_step
+        # would silently re-upload the full tree every batch otherwise
+        evaluate(args, cfg, dataset, loader, eval_step,
+                 jax.device_put(params), action, log)
         return
 
     max_epoch = args.epochs or cfg.train_max_epoch
