@@ -14,9 +14,11 @@ flags) so the attribution is measured at the benchmarked optimum.
 Run:  python tools/trace_step.py [bs]        (default 8)
       python tools/trace_step.py --infer [bs]   eval fwd + postprocess
       python tools/trace_step.py --rl [bs]      RL action-value train step
-      python tools/trace_step.py --hlo [bs]     also dump the optimized HLO
-        of the SAME compiled train step to /tmp/step_hlo.txt (one compile
-        serves both) — grep the trace's fusion names there for attribution.
+      python tools/trace_step.py --hlo [bs]     dump the optimized HLO of
+        the same-config train step to /tmp/step_hlo.txt and exit (dump-only:
+        executing the AOT-lowered Compiled object hangs over the tunneled
+        backend, so the trace itself needs a separate invocation) — grep the
+        trace's fusion names there for attribution.
 """
 
 import glob
