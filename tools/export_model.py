@@ -11,11 +11,17 @@ contract explicitly.
 
     python tools/export_model.py --load_name <ckpt_dir> --net res101 \
         --out model.jaxexport --height 800 --width 1216 \
-        --platforms cpu,tpu [--classes 81] [--cag]
+        --platforms cpu,tpu [--classes 81] [--cag] [--batch N]
 
 Verify/replay:
 
     python tools/export_model.py --replay model.jaxexport --height 800 ...
+
+Throughput of the artifact itself (value-fetch sync, same discipline as
+bench.py — `--batch` must match the exported batch):
+
+    python tools/export_model.py --replay model.jaxexport --bench 300 \
+        --batch 8 --height 800 --width 1216
 """
 
 import argparse
@@ -41,27 +47,44 @@ def parse_args():
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated export platforms")
     p.add_argument("--max_per_image", default=100, type=int)
+    p.add_argument("--batch", default=1, type=int,
+                   help="serving batch baked into the artifact's input shape")
+    p.add_argument("--bench", default=0, type=int, metavar="ITERS",
+                   help="with --replay: time ITERS artifact dispatches "
+                        "(value-fetch sync) and print a bench JSON line")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     return p.parse_args()
 
 
 def build_serving_fn(model, params, num_classes, class_agnostic,
-                     max_per_image, nms_thresh):
-    """One-image serving step: [1,H,W,3] caffe-BGR blob + [1,3] im_info →
-    (boxes, scores, classes, valid), params closed over as constants."""
+                     max_per_image, nms_thresh, batch=1):
+    """Serving step: [N,H,W,3] caffe-BGR blob + [N,3] im_info →
+    (boxes, scores, classes, valid), params closed over as constants.
+
+    batch=1 keeps the original one-image contract (outputs unbatched);
+    batch>1 vmaps the postprocess so outputs carry a leading N dim."""
     import jax
     import jax.numpy as jnp
 
     from rlobjectdetection_tpu.engine import postprocess_detections
 
-    def serve(data, im_info):
-        out = model.apply({"params": params}, data, im_info, train=False)
-        boxes, scores, classes, valid = postprocess_detections(
-            out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
-            im_info[0], out["roi_valid"][0],
+    def per_image(rois, cls_prob, bbox_pred, info, valid):
+        return postprocess_detections(
+            rois, cls_prob, bbox_pred, info, valid,
             num_classes=num_classes, class_agnostic=class_agnostic,
             max_per_image=max_per_image, nms_thresh=nms_thresh,
         )
+
+    def serve(data, im_info):
+        out = model.apply({"params": params}, data, im_info, train=False)
+        if batch == 1:
+            boxes, scores, classes, valid = per_image(
+                out["rois"][0], out["cls_prob"][0], out["bbox_pred"][0],
+                im_info[0], out["roi_valid"][0])
+        else:
+            boxes, scores, classes, valid = jax.vmap(per_image)(
+                out["rois"], out["cls_prob"], out["bbox_pred"],
+                im_info, out["roi_valid"])
         return {"boxes": boxes, "scores": scores,
                 "classes": classes, "valid": valid}
 
@@ -96,9 +119,9 @@ def export_artifact(args, cfg=None):
                 "res152": "resnet152"}.get(args.net, args.net)
     model = FasterRCNN(num_classes=args.classes, backbone=backbone,
                        class_agnostic=args.class_agnostic, cfg=cfg)
-    h, w = args.height, args.width
-    data_spec = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
-    info_spec = jax.ShapeDtypeStruct((1, 3), jnp.float32)
+    h, w, n = args.height, args.width, args.batch
+    data_spec = jax.ShapeDtypeStruct((n, h, w, 3), jnp.float32)
+    info_spec = jax.ShapeDtypeStruct((n, 3), jnp.float32)
     if params is None:
         print("WARNING: no --load_name; exporting random weights (smoke mode)")
         key = jax.random.PRNGKey(3)
@@ -108,33 +131,65 @@ def export_artifact(args, cfg=None):
             jnp.asarray([[float(h), float(w), 1.0]]), train=False,
         )["params"]
 
+    # Embed constants from HOST-backed leaves: lowering fetches each
+    # device-resident leaf with its own blocking transfer (~530 round trips
+    # hang the export for >20 min over the tunneled backend; one bulk
+    # device_get is seconds, and a checkpoint restore already arrives
+    # host-backed).
+    params = jax.device_get(params)
     serve = build_serving_fn(model, params, args.classes, args.class_agnostic,
-                             args.max_per_image, cfg.TEST.NMS)
+                             args.max_per_image, cfg.TEST.NMS, batch=n)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     exported = jexport.export(serve, platforms=platforms)(data_spec, info_spec)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"exported {len(blob) / 1e6:.1f} MB -> {args.out} "
-          f"(platforms={platforms}, input [1,{h},{w},3])")
+          f"(platforms={platforms}, input [{n},{h},{w},3])")
     return args.out
 
 
-def replay_artifact(path, h, w):
-    """Deserialize and run one synthetic frame — proves the artifact is
-    self-contained (no model code touched)."""
+def replay_artifact(path, h, w, batch=1, bench_iters=0):
+    """Deserialize and run synthetic frames — proves the artifact is
+    self-contained (no model code touched). With bench_iters > 0, time the
+    artifact with the value-fetch discipline of bench.py (block_until_ready
+    lies over the tunneled backend): exported.call is traced into a
+    token-chained jit so the final fetch transitively requires every
+    dispatch."""
+    import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     with open(path, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
     rng = np.random.RandomState(0)
-    data = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 10)
-    info = jnp.asarray([[float(h), float(w), 1.0]], dtype=np.float32)
+    data = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32) * 10)
+    info = jnp.asarray([[float(h), float(w), 1.0]] * batch, dtype=np.float32)
     out = exported.call(data, info)
     n = int(np.asarray(out["valid"]).sum())
     print(f"replayed {path}: {n} detections above threshold "
           f"(top score {float(np.asarray(out['scores']).max()):.4f})")
+    if bench_iters:
+        import bench as bench_mod
+
+        @jax.jit
+        def serve_chained(data, token):
+            d = jax.lax.optimization_barrier((data, token))[0]
+            res = exported.call(d, info)
+            return res, res["scores"].ravel()[0].astype(jnp.float32)
+
+        _, serve_c = bench_mod._xla_flops_and_exec(
+            serve_chained, data, jnp.float32(0.0))
+        holder = {"token": jnp.float32(0.0)}
+
+        def run_once():
+            res, holder["token"] = serve_c(data, holder["token"])
+            return res
+
+        bench_mod._measure_and_report(
+            "export_artifact_images_per_sec_per_chip", run_once,
+            lambda r: float(jnp.asarray(r["scores"]).ravel()[0]),
+            batch, iters=bench_iters)
     return out
 
 
@@ -144,7 +199,8 @@ def main():
     args = parse_args()
     setup_platform()
     if args.replay:
-        replay_artifact(args.replay, args.height, args.width)
+        replay_artifact(args.replay, args.height, args.width,
+                        batch=args.batch, bench_iters=args.bench)
         return
     export_artifact(args)
 
