@@ -116,6 +116,8 @@ def main():
     cfg = Config()
     if args.set_cfgs:
         cfg = cfg_from_list(cfg, args.set_cfgs)
+    from tools._env import enable_fused_tpu_defaults
+    cfg = enable_fused_tpu_defaults(cfg, args.set_cfgs)
 
     params, meta = None, {}
     if args.load_name:

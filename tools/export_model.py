@@ -117,6 +117,14 @@ def export_artifact(args, cfg=None):
 
     backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
                 "res152": "resnet152"}.get(args.net, args.net)
+    # Fused Pallas kernels when every target platform is TPU (they lower to
+    # tpu_custom_call, so a cpu-portable artifact must stay on XLA's path;
+    # without them the artifact serves ~15% under the bench rate — measured
+    # 116.9 vs 137.0 img/s at bs8).
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    from tools._env import enable_fused_tpu_defaults
+    cfg = enable_fused_tpu_defaults(cfg, args.set_cfgs,
+                                    on_tpu=set(platforms) == {"tpu"})
     model = FasterRCNN(num_classes=args.classes, backbone=backbone,
                        class_agnostic=args.class_agnostic, cfg=cfg)
     h, w, n = args.height, args.width, args.batch
@@ -139,7 +147,6 @@ def export_artifact(args, cfg=None):
     params = jax.device_get(params)
     serve = build_serving_fn(model, params, args.classes, args.class_agnostic,
                              args.max_per_image, cfg.TEST.NMS, batch=n)
-    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     exported = jexport.export(serve, platforms=platforms)(data_spec, info_spec)
     blob = exported.serialize()
     with open(args.out, "wb") as f:

@@ -75,7 +75,7 @@ DATASET_MAP = {
 
 
 def main():
-    from tools._env import setup_platform
+    from tools._env import enable_fused_tpu_defaults, setup_platform
 
     args = parse_args()
     setup_platform()
@@ -120,18 +120,9 @@ def main():
         cfg = cfg_update(cfg, {"POOLING_MODE": args.pooling_mode})
     np.random.seed(cfg.RNG_SEED)
 
-    # Pallas fused stem (ops/stem_pallas.py): auto-enable on any TPU run —
-    # multi-device meshes shard its batch dim through the GSPMD partitioning
-    # rule in ops/batch_partition.py. Explicit `--set CONV1_FUSED ...` wins.
-    if (not any("CONV1_FUSED" in str(s) for s in (args.set_cfgs or []))
-            and jax.default_backend() == "tpu"):
-        cfg = cfg_update(cfg, {"CONV1_FUSED": True})
-    # Fused layer1 rides the same gate (it consumes the fused stem's CW
-    # output and needs the FIXED_BLOCKS >= 1 frozen-layer1 contract).
-    if (cfg.CONV1_FUSED and cfg.RESNET.FIXED_BLOCKS >= 1
-            and not any("LAYER1_FUSED" in str(s)
-                        for s in (args.set_cfgs or []))):
-        cfg = cfg_update(cfg, {"LAYER1_FUSED": True})
+    # Pallas fused stem/layer1 (ops/stem_pallas.py, ops/layer1_pallas.py):
+    # auto-enable on any TPU run (tools/_env.py).
+    cfg = enable_fused_tpu_defaults(cfg, args.set_cfgs)
 
     imdb_name, _ = DATASET_MAP.get(args.dataset, (args.dataset, None))
     imdb_obj, roidb, ratio_list, ratio_index = combined_roidb(
