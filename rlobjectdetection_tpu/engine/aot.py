@@ -40,11 +40,13 @@ class AotExecutableCache:
     this process, "loads" = deserialized from disk, "hits" = in-memory reuse.
     """
 
-    def __init__(self, fn, cache_dir: str):
+    def __init__(self, fn, cache_dir: str, key_material: str | None = None):
         self.fn = fn
         self.dir = os.path.abspath(cache_dir)
         os.makedirs(self.dir, exist_ok=True)
         self._compiled = {}
+        self._meta = {}
+        self.key_material = key_material
         self.stats = {"compiles": 0, "loads": 0, "hits": 0}
 
     def _get(self, args):
@@ -53,11 +55,19 @@ class AotExecutableCache:
         if comp is not None:
             self.stats["hits"] += 1
             return comp
-        lowered = self.fn.lower(*args)
+        # Default keying is content-addressed on the lowered StableHLO text.
+        # A caller whose program embeds huge constants (the export artifact
+        # bakes the weights in) passes key_material instead — hashing and even
+        # lowering are then skipped on a disk hit.
+        if self.key_material is not None:
+            lowered, base = None, self.key_material + repr(sig)
+        else:
+            lowered = self.fn.lower(*args)
+            base = lowered.as_text()
         dev = jax.devices()[0]
         key = hashlib.sha256(
             "\0".join((
-                lowered.as_text(), jax.__version__, jax.default_backend(),
+                base, jax.__version__, jax.default_backend(),
                 getattr(dev, "device_kind", "?"), str(jax.device_count()),
             )).encode()
         ).hexdigest()[:32]
@@ -67,7 +77,11 @@ class AotExecutableCache:
                 deserialize_and_load)
 
             with open(path, "rb") as f:
-                payload, in_tree_b, out_tree_b, dev_ids = pickle.loads(f.read())
+                rec = pickle.loads(f.read())
+            # v1 blobs have 4 fields; v2 appends a meta dict (XLA flops etc.
+            # — cost_analysis is unavailable on deserialized executables)
+            payload, in_tree_b, out_tree_b, dev_ids = rec[:4]
+            meta = rec[4] if len(rec) > 4 else {}
             # deserialize_and_load defaults execution_devices to ALL backend
             # devices; an executable compiled for a subset (single-device jit
             # on a multi-device host) must replay its original assignment
@@ -79,12 +93,15 @@ class AotExecutableCache:
         else:
             from jax.experimental.serialize_executable import serialize
 
+            if lowered is None:
+                lowered = self.fn.lower(*args)
             comp = lowered.compile()
+            meta = {"flops": _xla_flops(comp)}
             payload, in_tree, out_tree = serialize(comp)
             dev_ids = [d.id for d in comp.runtime_executable().local_devices()]
             blob = pickle.dumps(
                 (payload, pickle.dumps(in_tree), pickle.dumps(out_tree),
-                 dev_ids))
+                 dev_ids, meta))
             # atomic publish: concurrent processes (multi-host launch) race
             # benignly — last rename wins with identical content
             fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
@@ -93,7 +110,25 @@ class AotExecutableCache:
             os.replace(tmp, path)
             self.stats["compiles"] += 1
         self._compiled[sig] = comp
+        self._meta[sig] = meta
         return comp
+
+    def get_with_meta(self, args):
+        """(compiled, meta) for this arg-shape signature; meta carries the
+        compile-time XLA cost analysis ("flops") even when the executable
+        itself was deserialized from disk."""
+        comp = self._get(args)
+        return comp, self._meta.get(_shape_sig(args), {})
 
     def __call__(self, *args):
         return self._get(args)(*args)
+
+
+def _xla_flops(compiled):
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None

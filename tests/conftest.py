@@ -18,6 +18,16 @@ import jax
 # (JAX_PLATFORMS=axon survives a plain env override, so set the config directly)
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rlobjectdetection_tpu.utils.cache import enable_persistent_cache
+
+# host-fingerprinted persistent compile cache: repeat suite runs skip XLA:CPU
+# compiles without risking stale-host-generation (SIGILL-warning) entries
+enable_persistent_cache()
+
 import numpy as np
 import pytest
 

@@ -29,6 +29,10 @@ import jax  # noqa: E402
 # override — force CPU through the config (memory: tpu-rebuild-lessons).
 jax.config.update("jax_platforms", "cpu")
 
+from rlobjectdetection_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # host-fingerprinted: repeat dryruns skip compiles
+
 if nprocs > 1:
     jax.distributed.initialize(f"localhost:{port}", num_processes=nprocs,
                                process_id=rank)

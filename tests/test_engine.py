@@ -264,6 +264,45 @@ def test_aot_executable_cache(tmp_path):
     assert len(list(tmp_path.glob("*.aotx"))) == 2
 
 
+def test_aot_executable_cache_meta_and_key_material(tmp_path):
+    """The compile-time XLA flop count rides in the blob (bench.py MFU on the
+    deserialize path), and key_material replaces StableHLO-text hashing for
+    programs with huge baked-in constants (export replay, VERDICT r4 #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.engine import AotExecutableCache
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((16, 16))
+    c1 = AotExecutableCache(f, str(tmp_path))
+    _, meta1 = c1.get_with_meta((x,))
+    assert c1.stats["compiles"] == 1
+    assert meta1.get("flops") and meta1["flops"] > 0
+
+    # fresh wrapper: meta (incl. flops) must survive the disk roundtrip
+    c2 = AotExecutableCache(f, str(tmp_path))
+    comp, meta2 = c2.get_with_meta((x,))
+    assert c2.stats == {"compiles": 0, "loads": 1, "hits": 0}
+    assert meta2.get("flops") == meta1["flops"]
+    np.testing.assert_allclose(np.asarray(comp(x)), np.asarray(f(x)))
+
+    # key_material keying: same key + same shapes -> disk hit in a fresh
+    # wrapper; a different key is a different entry (no false sharing)
+    k1 = AotExecutableCache(f, str(tmp_path), key_material="artifact-A")
+    k1(x)
+    assert k1.stats["compiles"] == 1
+    k2 = AotExecutableCache(f, str(tmp_path), key_material="artifact-A")
+    np.testing.assert_allclose(np.asarray(k2(x)), np.asarray(f(x)))
+    assert k2.stats == {"compiles": 0, "loads": 1, "hits": 0}
+    k3 = AotExecutableCache(f, str(tmp_path), key_material="artifact-B")
+    k3(x)
+    assert k3.stats["compiles"] == 1
+
+
 def test_aot_executable_cache_under_mesh(tmp_path):
     """The trainer wraps a step whose inputs are sharded over the data mesh
     (tools/trainval_net.py --aot_cache): the deserialized executable must

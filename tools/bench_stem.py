@@ -19,8 +19,9 @@ from jax import lax
 from rlobjectdetection_tpu.models.backbones.resnet import ceil_max_pool
 from rlobjectdetection_tpu.ops.stem_pallas import fused_stem
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from rlobjectdetection_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # host-fingerprinted dir (SIGILL-safe across host gens)
 
 
 def main():

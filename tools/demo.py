@@ -28,6 +28,9 @@ def parse_args():
     p = argparse.ArgumentParser(description="Faster R-CNN demo")
     p.add_argument("--net", default="vgg16")
     p.add_argument("--image_dir", default="images")
+    p.add_argument("--out_dir", default=None,
+                   help="where *_det.jpg land (default: --image_dir, like the "
+                        "reference; set it when --image_dir is read-only)")
     p.add_argument("--webcam_num", default=-1, type=int,
                    help="webcam device index (>=0 enables webcam mode, demo.py:58)")
     p.add_argument("--load_name", default=None, help="checkpoint dir")
@@ -159,6 +162,8 @@ def main():
         if f.lower().endswith((".jpg", ".png", ".jpeg")) and "_det" not in f
     ]
     print(f"Loaded Photo: {len(imglist)} images.")
+    out_dir = args.out_dir or args.image_dir
+    os.makedirs(out_dir, exist_ok=True)
     for name in imglist:
         path = os.path.join(args.image_dir, name)
         im_bgr = cv2.imread(path)
@@ -169,7 +174,7 @@ def main():
         im2show = detect_frame(im_bgr.astype(np.float32), im_bgr.copy())
         print(f"{name}: detect {time.time() - t0:.3f}s")
         out_path = os.path.join(
-            args.image_dir, os.path.splitext(name)[0] + "_det.jpg"
+            out_dir, os.path.splitext(name)[0] + "_det.jpg"
         )
         cv2.imwrite(out_path, im2show)
         print(f"wrote {out_path}")

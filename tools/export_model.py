@@ -168,7 +168,12 @@ def replay_artifact(path, h, w, batch=1, bench_iters=0):
     from jax import export as jexport
 
     with open(path, "rb") as f:
-        exported = jexport.deserialize(bytearray(f.read()))
+        raw = f.read()
+    exported = jexport.deserialize(bytearray(raw))
+    import hashlib
+
+    artifact_sha = hashlib.sha256(raw).hexdigest()
+    del raw
     rng = np.random.RandomState(0)
     data = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32) * 10)
     info = jnp.asarray([[float(h), float(w), 1.0]] * batch, dtype=np.float32)
@@ -185,8 +190,13 @@ def replay_artifact(path, h, w, batch=1, bench_iters=0):
             res = exported.call(d, info)
             return res, res["scores"].ravel()[0].astype(jnp.float32)
 
+        # key by the artifact bytes, not the lowered HLO — the baked-in
+        # weights make as_text() prohibitively large, and with key_material
+        # a warm replay skips lowering entirely (time-to-first-dispatch
+        # target: <1 min, VERDICT r4 #8)
         _, serve_c = bench_mod._xla_flops_and_exec(
-            serve_chained, data, jnp.float32(0.0))
+            serve_chained, data, jnp.float32(0.0),
+            key_material=f"export:{artifact_sha}")
         holder = {"token": jnp.float32(0.0)}
 
         def run_once():

@@ -143,8 +143,8 @@ def probe(name, bs, h, w, cin, cout, k, stride, bwd):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from rlobjectdetection_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # host-fingerprinted dir (SIGILL-safe across host gens)
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
     rows = []

@@ -33,8 +33,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from rlobjectdetection_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # host-fingerprinted dir (SIGILL-safe across host gens)
 
     b, h, w, c = 8, 50, 76, 1024
     r, ah, aw = 1024, 8, 8

@@ -7,8 +7,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from rlobjectdetection_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # host-fingerprinted dir (SIGILL-safe across host gens)
 
 from rlobjectdetection_tpu.models.backbones.resnet import ResLayer
 from rlobjectdetection_tpu.ops.layer1_pallas import fused_layer1

@@ -27,8 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from rlobjectdetection_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # host-fingerprinted dir (SIGILL-safe across host gens)
 
     from rlobjectdetection_tpu.models.backbones.resnet import ResNetBase
 
