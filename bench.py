@@ -216,6 +216,9 @@ def main():
     if "--check-pallas" in sys.argv:
         _check_pallas(next((int(a) for a in sys.argv[1:] if a.isdigit()), 1))
         return
+    if "--check-pooling" in sys.argv:
+        _check_pooling(next((int(a) for a in sys.argv[1:] if a.isdigit()), 2))
+        return
     remat = "--remat" in sys.argv
     # --pooling=crop|pool|align: put the reference's other two pooling modes
     # on the chip (VERDICT r4 #5); align is the repo default (PARITY.md).
@@ -276,7 +279,7 @@ def main():
     step = make_train_step(model, tx, donate="--donate" in sys.argv)
 
     if "--infer" in sys.argv:
-        _bench_infer(model, state.params, batch, batch_size)
+        _bench_infer(model, state.params, batch, batch_size, pool_tag=pool_tag)
         return
 
     # ONE compile serves both the FLOP count (→ MFU vs v5e bf16 peak) and the
@@ -402,6 +405,63 @@ def _check_pallas(batch_size):
     assert ok, f"on-chip Pallas parity FAILED: {report}"
 
 
+def _check_pooling(batch_size):
+    """On-chip parity for ALL THREE pooling modes (VERDICT r4 #5): the crop
+    and pool paths are CPU-parity-tested against the reference C semantics
+    (tests/test_roi_ops.py) but had never run on the TPU. This executes each
+    mode's production op (faster_rcnn.py extract_roi_features dispatch:
+    reference lib/model/faster_rcnn/faster_rcnn.py:72-83) on the chip at
+    C4-feature bench shapes and asserts closeness against the same jax code
+    on the CPU backend of the same process (an independent compiler).
+
+    Run: python bench.py --check-pooling [bs]   (TPU backend required)
+    """
+    WD.metric = "pooling_onchip_parity"
+    WD.stage("check_pooling", 1200)
+    import jax
+    import jax.numpy as jnp
+
+    from rlobjectdetection_tpu.ops.roi_align import roi_align_avg
+    from rlobjectdetection_tpu.ops.roi_crop import roi_crop
+    from rlobjectdetection_tpu.ops.roi_pool import roi_pool
+
+    assert jax.default_backend() == "tpu", "--check-pooling needs the TPU"
+    b, h, w, ch, r = batch_size, 50, 76, 1024, 128
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(b, h, w, ch).astype(np.float32))
+    rois = np.zeros((b * r, 5), np.float32)
+    rois[:, 0] = np.repeat(np.arange(b), r)
+    x1 = rng.uniform(0, 16 * w - 140, b * r).astype(np.float32)
+    y1 = rng.uniform(0, 16 * h - 140, b * r).astype(np.float32)
+    rois[:, 1], rois[:, 2] = x1, y1
+    rois[:, 3] = x1 + rng.uniform(16, 130, b * r)
+    rois[:, 4] = y1 + rng.uniform(16, 130, b * r)
+    rois = jnp.asarray(rois)
+
+    fns = {
+        "align": lambda f, rr: roi_align_avg(f, rr, 7, 1.0 / 16.0),
+        "pool": lambda f, rr: roi_pool(f, rr, 7, 7, 1.0 / 16.0),
+        "crop": lambda f, rr: roi_crop(f, rr, 14, 1.0 / 16.0, max_pool=True),
+    }
+    cpu = jax.devices("cpu")[0]
+    report = {"metric": "pooling_onchip_parity", "batch": batch_size}
+    ok = True
+    for name, fn in fns.items():
+        got = np.asarray(jax.jit(fn)(feat, rois), dtype=np.float32)
+        with jax.default_device(cpu):
+            want = np.asarray(
+                jax.jit(fn)(jax.device_put(feat, cpu), jax.device_put(rois, cpu)),
+                dtype=np.float32)
+        scale = np.abs(want).max() + 1e-6
+        max_rel = float(np.abs(got - want).max() / scale)
+        report[f"{name}_max_rel"] = round(max_rel, 7)
+        ok &= max_rel < 1e-3
+    report["ok"] = ok
+    WD.disarm()
+    print(json.dumps(report))
+    assert ok, f"on-chip pooling parity FAILED: {report}"
+
+
 def make_rl_step(batch_size, h, w, n_boxes=64, fused_stem=True,
                  fused_layer1=True, fused_stages=0):
     """Build the RL action-value train step + inputs (shared by the bench
@@ -481,8 +541,8 @@ def _bench_rl(batch_size, h, w, n_boxes=64):
                         run_once, float, batch_size, step_flops=step_flops)
 
 
-def _bench_infer(model, params, batch, batch_size):
-    WD.metric = "infer_images_per_sec_per_chip_res101_coco800"
+def _bench_infer(model, params, batch, batch_size, pool_tag=""):
+    WD.metric = f"infer_images_per_sec_per_chip_res101_coco800{pool_tag}"
     import jax
     import jax.numpy as jnp
 
@@ -517,7 +577,7 @@ def _bench_infer(model, params, batch, batch_size):
 
     # steps are ~10 ms at bs1 — use a wide window so one dispatch hiccup over
     # the tunneled backend cannot dominate the measurement
-    _measure_and_report("infer_images_per_sec_per_chip_res101_coco800",
+    _measure_and_report(f"infer_images_per_sec_per_chip_res101_coco800{pool_tag}",
                         run_once,
                         lambda r: float(jnp.asarray(r[0]).ravel()[0]),
                         batch_size, iters=300, step_flops=step_flops)

@@ -283,10 +283,19 @@ def evaluate(args, cfg, dataset, loader, eval_step, params, action, log):
 
     all_results = []
     prec_sum, prec_cnt = 0.0, 0
+    # composed-eval accounting (VERDICT r4 #7): wall time split into the
+    # loader (host decode/resize/collate), the device step + value fetch
+    # (tunnel-transfer-inclusive), and the host post (move + json rows)
+    t_total0, t_data, t_step, t_post, n_imgs = time.time(), 0.0, 0.0, 0.0, 0
+    end = time.time()
     for batch in loader:
+        t_data += time.time() - end
+        s0 = time.time()
         pred = np.asarray(
             eval_step(params, jnp.asarray(batch["data"]), jnp.asarray(batch["bboxes"]))
         ).reshape(batch["bboxes"].shape[0], batch["bboxes"].shape[1], -1)
+        t_step += time.time() - s0
+        s1 = time.time()
         bboxes = batch["bboxes"]
         targets = batch["labels"][..., 1]
         # move + precision over the FULL padded batch, as the reference
@@ -314,6 +323,14 @@ def evaluate(args, cfg, dataset, loader, eval_step, params, action, log):
                         "score": float(bboxes[i, k, 5]),
                     }
                 )
+        t_post += time.time() - s1
+        n_imgs += int(bboxes.shape[0])
+        end = time.time()
+    t_total = time.time() - t_total0
+    log.info(
+        f"composed eval: {n_imgs} images in {t_total:.1f}s = "
+        f"{n_imgs / max(t_total, 1e-9):.2f} img/s "
+        f"(loader {t_data:.1f}s, step+fetch {t_step:.1f}s, post {t_post:.1f}s)")
     log.info(f"Preck precision@{args.maxk}: {prec_sum / max(prec_cnt, 1):.2f}%")
     res_file = os.path.join(args.save_dir or cfg.save_dir, "rl_results.json")
     with open(res_file, "w") as f:
