@@ -46,10 +46,18 @@ def main():
             g = jax.grad(lambda pp: base.apply(pp, x).astype(jnp.float32).sum())(p)
             return sum(l.astype(jnp.float32).ravel()[0] for l in jax.tree_util.tree_leaves(g))
 
-        from bench import _xla_flops_and_exec
-
-        flops, fwdbwd_c = _xla_flops_and_exec(fwdbwd, params, img)
-        flops = flops or 0.0
+        # flops from a compile-only pass; the TIMED calls go through the
+        # normal jit dispatch path — executing the lowered Compiled object
+        # directly hangs over the tunneled backend for this program (the
+        # same failure mode trace_step.py documents; reproduced round 5)
+        try:
+            cost = fwdbwd.lower(params, img).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        fwdbwd_c = fwdbwd
         for _ in range(3):
             out = fwdbwd_c(params, img)
         float(out)
