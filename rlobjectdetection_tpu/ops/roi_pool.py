@@ -85,5 +85,10 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, pooled_height: int = 7,
         return jnp.where(empty | (out <= NEG_INF / 2), 0.0, out)
 
     chunks = rois_p.reshape(-1, chunk, 5)
-    out = jax.lax.map(one_chunk, chunks)
+    # checkpoint: without it the lax.map (scan) backward SAVES every chunk's
+    # [chunk, H, PW, W, C] masked-broadcast residual — at train shapes that is
+    # a single 58.7 GB allocation (bf16[64,16,50,7,76,1024], compile-time OOM
+    # on a 16 GB chip, measured round 5). Rematerializing recomputes it per
+    # chunk in the backward: peak transient ~1 GB, gradients bit-identical.
+    out = jax.lax.map(jax.checkpoint(one_chunk), chunks)
     return out.reshape(-1, ph_n, pw_n, c)[:r].astype(features.dtype)

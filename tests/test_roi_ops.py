@@ -131,6 +131,26 @@ def test_roi_pool_matches_cuda_oracle(rng):
     )
 
 
+def test_roi_pool_grad_routes_to_argmax(rng):
+    """Max-pool backward: d(sum)/d(feat) puts exactly 1.0 on each non-empty
+    cell's argmax element (roi_pooling_kernel.cu atomicAdd backward). Also
+    pins that the checkpointed lax.map formulation stays differentiable —
+    the un-rematted scan backward OOMs at train shapes (58.7 GB residual)."""
+    feat, rois = _fixture(rng, b=2, c=4, h=12, w=12, r=6)
+    f = _nhwc(feat)
+
+    def loss(x):
+        return roi_pool(x, jnp.asarray(rois), 7, 7, 1.0 / 16.0, chunk=4).sum()
+
+    out = np.asarray(roi_pool(f, jnp.asarray(rois), 7, 7, 1.0 / 16.0, chunk=4))
+    g = np.asarray(jax.grad(loss)(f))
+    assert np.isfinite(g).all()
+    # every unit of gradient mass is one non-empty pooled cell's contribution
+    n_nonempty = int((out != 0).sum())  # continuous random feat: cell==0 <=> empty
+    assert abs(g.sum() - n_nonempty) < 1e-3, (g.sum(), n_nonempty)
+    assert (g >= 0).all()
+
+
 def test_roi_crop_uniform_grid(rng):
     # a roi spanning exact integer feature coords samples the lattice exactly
     feat, _ = _fixture(rng, b=1, c=3, h=16, w=16)
