@@ -126,6 +126,24 @@ def _xla_flops_and_exec(fn, *args, key_material=None):
     engine/aot.py::AotExecutableCache — warm runs deserialize in ~1.3 s and
     the compile-time XLA flop count rides along in the blob's meta."""
     WD.stage("compile_or_load", 900)
+    if "--jit-dispatch" in sys.argv:
+        # Escape hatch for the AOT-exec hang: SOME programs (the roofline
+        # backbone fwd+bwd, the eval-forward+postprocess infer program —
+        # reproduced round 5; trace_step.py documented it round 4) hang when
+        # executed through the lower().compile() Compiled object over the
+        # tunneled backend, while the SAME program runs fine through normal
+        # jit dispatch. Compile once anyway for the XLA flop count (compile
+        # alone never hangs), then hand back the jitted fn; the dispatch-path
+        # compile is served by the backend's compile cache.
+        try:
+            cost = fn.lower(*args).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+        WD.stage("compiled", 600)
+        return flops, fn
     aot = _aot_dir()
     if aot:
         try:
@@ -166,7 +184,10 @@ def _measure_and_report(metric, run_once, sync, batch_size, iters=30,
     line instead of an empty artifact (VERDICT r4 weak #1).
     """
     WD.metric = metric
-    WD.stage("warmup", 420)
+    # --jit-dispatch pays its (dispatch-path) compile inside the first warmup
+    # call — the compile-only pass above cannot seed the jit cache — so the
+    # warmup deadline must cover a full server-side compile, not just 3 steps
+    WD.stage("warmup", 900 if "--jit-dispatch" in sys.argv else 420)
     for _ in range(3):
         out = run_once()
     sync(out)

@@ -110,6 +110,16 @@ def main():
                 nms_thresh=0.3))(out["rois"], out["cls_prob"],
                                  out["bbox_pred"], im_info, out["roi_valid"])
 
+        if "--hlo" in sys.argv:
+            hlo_path = next((a for a in sys.argv[1:] if a.endswith(".txt")),
+                            "/tmp/infer_hlo.txt")
+            compiled = infer_fn.lower(
+                state.params, batch["data"], batch["im_info"]).compile()
+            with open(hlo_path, "w") as f:
+                f.write(compiled.as_text())
+            print(f"wrote optimized HLO to {hlo_path}")
+            return
+
         def step(s, b, k):
             return s, {"loss": infer_fn(s.params, b["data"], b["im_info"]
                                         )[0].ravel()[0]}
