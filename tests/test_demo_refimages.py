@@ -94,7 +94,8 @@ def test_demo_cli_reference_images(tmp_path):
     r = subprocess.run(
         [sys.executable, "tools/demo.py", "--net", "tiny",
          "--image_dir", REF_IMAGES, "--out_dir", out_dir,
-         "--vis_thresh", "0.0", "--set"] + TINY_SET,
+         # fixed canvas: all four mixed-aspect images share ONE compile
+         "--vis_thresh", "0.0", "--pad_to", "192", "192", "--set"] + TINY_SET,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-3000:]
     outs = sorted(os.listdir(out_dir))

@@ -36,6 +36,15 @@ def parse_args():
     p.add_argument("--load_name", default=None, help="checkpoint dir")
     p.add_argument("--cag", dest="class_agnostic", action="store_true")
     p.add_argument("--vis_thresh", default=0.5, type=float)
+    p.add_argument("--pad_to", nargs=2, type=int, default=None,
+                   metavar=("H", "W"),
+                   help="fixed blob canvas: pad every image to H W instead "
+                        "of its own quantized shape — ONE compile serves a "
+                        "mixed-aspect folder (the per-shape default costs "
+                        "one multi-minute TPU compile per distinct padded "
+                        "shape; same trick as test_net's partial-batch "
+                        "canvas). Images that exceed the canvas fall back "
+                        "to their own shape.")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     return p.parse_args()
 
@@ -74,6 +83,8 @@ def _make_detector(args, cfg, params, forward):
         im, im_scale = prep_im_for_blob(im_bgr, PIXEL_MEANS_BGR,
                                         cfg.TEST.SCALES[0])
         ph, pw = pad_shape(im.shape[0], im.shape[1])
+        if args.pad_to and args.pad_to[0] >= ph and args.pad_to[1] >= pw:
+            ph, pw = args.pad_to
         blob = np.zeros((1, ph, pw, 3), dtype=np.float32)
         blob[0, : im.shape[0], : im.shape[1]] = im
         im_info = np.array([[im.shape[0], im.shape[1], im_scale]],
