@@ -146,7 +146,8 @@ def main():
     if meta.get("class_agnostic"):
         args.class_agnostic = True
 
-    backbone = {"vgg16": "vgg16", "res101": "resnet101"}.get(args.net, args.net)
+    backbone = {"vgg16": "vgg16", "res50": "resnet50", "res101": "resnet101",
+                "res152": "resnet152"}.get(args.net, args.net)
     model = FasterRCNN(
         num_classes=len(VOC_CLASSES), backbone=backbone,
         class_agnostic=args.class_agnostic, cfg=cfg,
