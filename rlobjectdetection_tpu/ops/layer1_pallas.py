@@ -315,14 +315,21 @@ _fused_layer1.defvjp(_fused_layer1_fwd, _fused_layer1_bwd)
 
 
 def fused_layer1(x_cw, params, *, out_dtype=jnp.bfloat16,
-                 compute_dtype=jnp.bfloat16, tile_rows=8, interpret=False,
+                 compute_dtype=jnp.bfloat16, tile_rows=None, interpret=False,
                  eps=1e-5):
     """Run the full frozen layer1 stage on the stem's CW-layout output.
 
     x_cw: [B, H, 64, W] (stem_pallas.fused_stem(cw_out=True) layout).
     params: the 'layer1' subtree of ResNetBase params (block0..block2).
     Returns [B, H, W, 256] NHWC for XLA's layer2.
+
+    tile_rows defaults by compute dtype: 8 for <=2-byte types, 4 for f32 —
+    the f32 working set at 8 rows is 18.15 MB at COCO-800 RL shapes, over
+    the 16 MB scoped-vmem cap the axon chipless compile helper enforces on
+    EVERY compile (measured round 5; the RL trainer is the f32 user).
     """
+    if tile_rows is None:
+        tile_rows = 8 if jnp.dtype(compute_dtype).itemsize <= 2 else 4
     assert tile_rows % 2 == 0 and tile_rows > 0, (
         f"tile_rows must be a positive even number (the conv2/conv3 stages "
         f"stream 2-row chunks), got {tile_rows}")
